@@ -1,0 +1,217 @@
+"""Record → Bloom-filter encoders (CLK / CLKRBF / RBF).
+
+Parity: /root/reference/packages/pprl_service/pprl_service/routers/
+mask.py:124-161 (salting, token naming, strategy dispatch), 203-235 (CLK),
+238-289 (CLKRBF), 292-382 (RBF).  A record's bit vector is the bitwise-OR
+fold of the k hash positions of every distinct q-gram of every configured
+attribute — structurally a grouped aggregation keyed by record id, executed
+here as a vectorized per-batch kernel.
+
+Throughput notes (the 100 TB story): web text is Zipf-distributed, so the
+same (salt+token) strings recur constantly within an Arrow batch.  The
+encoder memoizes token → folded-bit-positions per (token, k); each record
+then reduces to one ``np.concatenate`` + boolean scatter.  The RBF bit
+sampling sequence depends only on the config (seed, attribute sizes), so it
+is replayed once at plan time and applied per record as a vectorized
+gather — no per-record RNG in the hot loop.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+
+from ..config import MaskConfig
+from . import bits as bitk
+from .hashing import destructure_digest, make_digest_fn
+from .tokenize import tokenize_checked
+
+__all__ = ["BloomEncoder"]
+
+
+class _TokenIndexer:
+    """Memoized (string, k) → folded bit positions for one filter size."""
+
+    def __init__(self, digest_fn, strategy: str, m: int, max_entries: int = 1 << 20):
+        self._digest_fn = digest_fn
+        self._strategy = strategy
+        self._m = m
+        self._cache: dict[tuple[str, int], np.ndarray] = {}
+        self._max_entries = max_entries
+
+    def __call__(self, token: str, k: int) -> np.ndarray:
+        key = (token, k)
+        idx = self._cache.get(key)
+        if idx is None:
+            digest = self._digest_fn(token.encode())
+            idx = bitk.strategy_indices(self._strategy, k, destructure_digest(digest), self._m)
+            if len(self._cache) >= self._max_entries:
+                self._cache.clear()
+            self._cache[key] = idx
+        return idx
+
+
+def _resolve_salt(cfg: MaskConfig, attr_name: str, record: dict) -> str:
+    """Literal or sibling-attribute salt (routers/mask.py:124-136)."""
+    attr_cfg = cfg.attribute_config(attr_name)
+    if attr_cfg is None or attr_cfg.salt is None:
+        return ""
+    if attr_cfg.salt.value is not None:
+        return attr_cfg.salt.value
+    return record[attr_cfg.salt.attribute]
+
+
+class BloomEncoder:
+    """Plan once on the driver, encode Arrow batches on executors.
+
+    ``attribute_names`` fixes which record fields are encoded (the reference
+    encodes every attribute present on the entity; a DataFrame has a fixed
+    schema, so the column list is explicit).
+    """
+
+    def __init__(self, cfg: MaskConfig, attribute_names: list[str]):
+        self.cfg = cfg
+        self.attribute_names = list(attribute_names)
+        self._digest_fn = make_digest_fn(
+            list(cfg.hash.function.algorithms), cfg.hash.function.key
+        )
+        self._strategy = cfg.hash.strategy
+
+        ftype = cfg.filter.type
+        if ftype == "clk":
+            self.m = cfg.filter.filter_size
+            self._k_of = {a: cfg.filter.hash_values for a in self.attribute_names}
+        elif ftype == "clkrbf":
+            # per-attribute k scaled by weight over the minimum weight
+            # (routers/mask.py:247-264), filter sized for 50% fill.
+            weights = {a.attribute_name: a for a in cfg.attributes}
+            min_weight = min(a.weight for a in cfg.attributes)
+            base_k = cfg.filter.hash_values
+            self._k_of = {}
+            total_insertions = 0.0
+            for a in cfg.attributes:
+                k_attr = int(math.ceil(base_k * a.weight / min_weight))
+                self._k_of[a.attribute_name] = k_attr
+                total_insertions += k_attr * a.average_token_count
+            self.m = bitk.optimal_size(0.5, total_insertions)
+            self.attribute_names = [a.attribute_name for a in cfg.attributes]
+            del weights
+        elif ftype == "rbf":
+            self._plan_rbf()
+        else:
+            raise ValueError(f"unimplemented filter type `{ftype}`")
+
+        from .harden import build_hardener_chain
+
+        self._harden = build_hardener_chain(cfg.hardeners)
+        if ftype != "rbf":
+            self._indexer = _TokenIndexer(self._digest_fn, self._strategy, self.m)
+
+    # ------------------------------------------------------------------
+    # RBF planning (routers/mask.py:292-323 + the per-record sampling loop
+    # 353-378, which depends only on the config and is replayed here once)
+    # ------------------------------------------------------------------
+
+    def _plan_rbf(self) -> None:
+        cfg = self.cfg
+        k = cfg.filter.hash_values
+        attrs = list(cfg.attributes)
+        total_weight = sum(a.weight for a in attrs)
+        self._rbf_attr_size = {
+            a.attribute_name: bitk.optimal_size(0.5, a.average_token_count * k)
+            for a in attrs
+        }
+        self._rbf_sorted_names = sorted(a.attribute_name for a in attrs)
+        by_name = {a.attribute_name: a for a in attrs}
+        self.m = max(
+            int(math.ceil(self._rbf_attr_size[a.attribute_name] * total_weight / a.weight))
+            for a in attrs
+        )
+        self._k_of = {a.attribute_name: k for a in attrs}
+
+        # replay the shared sampling stream once: for each sorted attribute,
+        # which positions of its array are probed and where they land in the
+        # parent vector.
+        rng = random.Random(cfg.filter.seed)
+        offset = 0
+        self._rbf_sampling: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for name in self._rbf_sorted_names:
+            a = by_name[name]
+            attr_size = self._rbf_attr_size[name]
+            n_sampled = int(math.floor(a.weight / total_weight * self.m))
+            probe = np.fromiter(
+                (rng.randrange(attr_size) for _ in range(n_sampled)),
+                dtype=np.int64,
+                count=n_sampled,
+            )
+            parent_pos = (offset + probe) % self.m
+            self._rbf_sampling[name] = (probe, parent_pos)
+            offset += n_sampled
+
+        self._rbf_indexers = {
+            name: _TokenIndexer(self._digest_fn, self._strategy, self._rbf_attr_size[name])
+            for name in self._rbf_sorted_names
+        }
+
+    # ------------------------------------------------------------------
+    # encoding
+    # ------------------------------------------------------------------
+
+    def _attr_token_indices(
+        self, indexer: _TokenIndexer, entity_id: str, attr_name: str, value: str, salt: str, k: int
+    ) -> list[np.ndarray]:
+        cfg = self.cfg
+        tokens = tokenize_checked(entity_id, attr_name, value, cfg.token_size, cfg.padding)
+        if cfg.prepend_attribute_name:
+            return [indexer(f"{salt}{attr_name}{t}", k) for t in tokens]
+        return [indexer(f"{salt}{t}", k) for t in tokens]
+
+    def encode_record(self, entity_id: str, record: dict) -> np.ndarray:
+        """One record → hardened unpacked bit vector."""
+        cfg = self.cfg
+        if cfg.filter.type == "rbf":
+            parent = bitk.new_bits(self.m)
+            for name in self._rbf_sorted_names:
+                salt = _resolve_salt(cfg, name, record)
+                attr_bits = bitk.new_bits(self._rbf_attr_size[name])
+                for idx in self._attr_token_indices(
+                    self._rbf_indexers[name], entity_id, name, record[name], salt, self._k_of[name]
+                ):
+                    attr_bits[idx] = True
+                probe, parent_pos = self._rbf_sampling[name]
+                parent[parent_pos[attr_bits[probe]]] = True
+            return self._harden(parent)
+
+        vec = bitk.new_bits(self.m)
+        chunks: list[np.ndarray] = []
+        for name in self.attribute_names:
+            salt = _resolve_salt(cfg, name, record)
+            chunks.extend(
+                self._attr_token_indices(
+                    self._indexer, entity_id, name, record[name], salt, self._k_of[name]
+                )
+            )
+        if chunks:
+            vec[np.concatenate(chunks)] = True
+        return self._harden(vec)
+
+    def encode_batch(self, ids, columns: dict[str, list]) -> list[bytes]:
+        """Encode a columnar batch → packed (MSB-first) byte strings.
+
+        ``columns`` maps attribute name → sequence of string values; extra
+        keys (e.g. salt-source attributes) are allowed.
+        """
+        names = list(columns)
+        rows = len(ids)
+        out: list[bytes] = []
+        for i in range(rows):
+            record = {n: columns[n][i] for n in names}
+            out.append(bitk.pack(self.encode_record(ids[i], record)))
+        return out
+
+    def encode_batch_b64(self, ids, columns: dict[str, list]) -> list[str]:
+        import base64
+
+        return [base64.b64encode(b).decode() for b in self.encode_batch(ids, columns)]
