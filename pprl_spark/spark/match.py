@@ -1,0 +1,168 @@
+"""Match stage: similarity joins over bit vectors.
+
+Three matchers, mirroring the reference's `/match` methods
+(routers/match.py:54-87) plus the scale path:
+
+* ``match_pairwise`` — positional/keyed equi-join (reference ``pairwise``).
+* ``match_crosswise`` — full cross join + threshold (reference
+  ``crosswise``); the correctness oracle for small inputs.
+* ``match_lsh`` — Hamming-LSH banded candidate join + similarity +
+  threshold; the 100 TB path.  Candidate generation is an equi-join on
+  ``(band, sig)``; AQE skew-join handles hot buckets, and an optional
+  ``max_bucket_size`` drops degenerate buckets (classic LSH practice —
+  documented recall trade-off, disabled by default).
+
+Similarity is a vectorized Arrow UDF over packed bytes (popcount LUT), so
+per-pair work is a few numpy ops, not per-row Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..config import MatchConfig
+from ..kernels.similarity import pair_similarity
+from .lsh import LSHConfig, add_band_signatures
+
+__all__ = [
+    "similarity_udf",
+    "match_pairwise",
+    "match_crosswise",
+    "match_lsh",
+    "top_k_per_record",
+]
+
+
+def similarity_udf(measure: str):
+    @F.pandas_udf(DoubleType())
+    def _sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        if a.empty:
+            return pd.Series([], dtype="float64")
+        return pd.Series(pair_similarity(measure, a.tolist(), b.tolist()))
+
+    return _sim
+
+
+def _prefixed(df: DataFrame, id_col: str, bloom_col: str, side: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{side}_id"), F.col(bloom_col).alias(f"__{side}_bloom")
+    )
+
+
+def _score_and_filter(pairs: DataFrame, cfg: MatchConfig) -> DataFrame:
+    sim = similarity_udf(cfg.measure)
+    return (
+        pairs.withColumn("similarity", sim(F.col("__domain_bloom"), F.col("__range_bloom")))
+        .filter(F.col("similarity") >= cfg.threshold)
+        .select("domain_id", "range_id", "similarity")
+    )
+
+
+def match_pairwise(
+    df_domain: DataFrame,
+    df_range: DataFrame,
+    cfg: MatchConfig,
+    on: str = "id",
+    bloom_col: str = "bloom",
+    check_lengths: bool = False,
+) -> DataFrame:
+    """Aligned pairs via equi-join on ``on`` (reference zips two equal-length
+    lists, routers/match.py:68-87; a distributed table has no list order, so
+    alignment is by key).  ``check_lengths=True`` reproduces the reference's
+    length guard (match.py:69-74) with its error message."""
+    if check_lengths:
+        n_dom, n_rng = df_domain.count(), df_range.count()
+        if n_dom != n_rng:
+            raise ValueError(
+                f"length of domain and range lists do not match: domain has length of "
+                f"{n_dom}, range has length of {n_rng}"
+            )
+    pairs = _prefixed(df_domain, on, bloom_col, "domain").join(
+        _prefixed(df_range, on, bloom_col, "range"),
+        F.col("domain_id") == F.col("range_id"),
+        "inner",
+    )
+    return _score_and_filter(pairs, cfg)
+
+
+def match_crosswise(
+    df_domain: DataFrame,
+    df_range: DataFrame,
+    cfg: MatchConfig,
+    id_col: str = "id",
+    bloom_col: str = "bloom",
+    broadcast_range: bool = False,
+) -> DataFrame:
+    """Full cross product + threshold (reference crosswise).  O(|D|·|R|) —
+    the small-input oracle the LSH matcher is validated against.  Set
+    ``broadcast_range`` when the range side fits in executor memory."""
+    rng_side = _prefixed(df_range, id_col, bloom_col, "range")
+    if broadcast_range:
+        rng_side = F.broadcast(rng_side)
+    pairs = _prefixed(df_domain, id_col, bloom_col, "domain").crossJoin(rng_side)
+    return _score_and_filter(pairs, cfg)
+
+
+def match_lsh(
+    df_domain: DataFrame,
+    df_range: DataFrame | None,
+    cfg: MatchConfig,
+    lsh: LSHConfig,
+    id_col: str = "id",
+    bloom_col: str = "bloom",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH-blocked match.  ``df_range=None`` → self-dedup mode (emit each
+    unordered pair once, ``domain_id < range_id``).
+
+    Plan shape: band-explode (narrow) → equi-join on (band, sig) (one
+    shuffle per side, AQE-skew-splittable) → pair dedup (one shuffle) →
+    similarity UDF + threshold (narrow).
+    """
+    dom = add_band_signatures(
+        _prefixed(df_domain, id_col, bloom_col, "domain"), lsh, "__domain_bloom"
+    )
+    if df_range is None:
+        rng_side = dom.select(
+            F.col("domain_id").alias("range_id"),
+            F.col("__domain_bloom").alias("__range_bloom"),
+            "band",
+            "sig",
+        )
+        pair_filter = F.col("domain_id") < F.col("range_id")
+    else:
+        rng_side = add_band_signatures(
+            _prefixed(df_range, id_col, bloom_col, "range"), lsh, "__range_bloom"
+        )
+        pair_filter = F.lit(True)
+
+    if max_bucket_size is not None:
+        counts = Window.partitionBy("band", "sig")
+        dom = dom.withColumn("__n", F.count(F.lit(1)).over(counts)).filter(
+            F.col("__n") <= max_bucket_size
+        ).drop("__n")
+        rng_side = rng_side.withColumn("__n", F.count(F.lit(1)).over(counts)).filter(
+            F.col("__n") <= max_bucket_size
+        ).drop("__n")
+
+    pairs = (
+        dom.join(rng_side, on=["band", "sig"], how="inner")
+        .filter(pair_filter)
+        .select("domain_id", "range_id", "__domain_bloom", "__range_bloom")
+        .dropDuplicates(["domain_id", "range_id"])
+    )
+    return _score_and_filter(pairs, cfg)
+
+
+def top_k_per_record(matches: DataFrame, k: int) -> DataFrame:
+    """Optional top-k-per-domain-record extension (SURVEY.md §2.8): window
+    rank over similarity within each domain_id."""
+    w = Window.partitionBy("domain_id").orderBy(F.col("similarity").desc(), F.col("range_id"))
+    return (
+        matches.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

@@ -1,0 +1,97 @@
+"""Weight-estimation statistics (reference pprl_client lib.py:88-162).
+
+Spark-native shapes:
+* average distinct-token count → ``avg(size(tokens))`` (lib.py:103-109)
+* token frequencies → ``explode(tokens) → groupBy(token).count()``
+  (lib.py:112-119); at web scale the count-min sketch UDAF
+  (:mod:`pprl_spark.sketch`) replaces the exact relation
+* n-gram Shannon entropy → ``-sum(p * log2(p))`` over the frequency
+  relation (lib.py:122-130)
+* per-attribute stats → WeightedAttributeConfig(weight=entropy,
+  average_token_count=avg) (lib.py:133-162)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from ..config import WeightedAttributeConfig
+from ..kernels.tokenize import tokenize_list
+
+__all__ = [
+    "tokens_udf",
+    "with_tokens",
+    "token_frequencies",
+    "average_token_count",
+    "ngram_entropy",
+    "compute_attribute_stats",
+]
+
+
+def tokens_udf(q: int = 2, padding: str = "_"):
+    """pandas UDF: string → array of distinct q-grams (first-occurrence
+    order, so plans are deterministic)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _tok(values: pd.Series) -> pd.Series:
+        return values.map(lambda v: tokenize_list(v, q, padding) if v is not None else None)
+
+    return _tok
+
+
+def with_tokens(df: DataFrame, column: str, q: int = 2, padding: str = "_",
+                tokens_col: str = "tokens") -> DataFrame:
+    return df.withColumn(tokens_col, tokens_udf(q, padding)(F.col(column)))
+
+
+def token_frequencies(df: DataFrame, column: str, q: int = 2, padding: str = "_") -> DataFrame:
+    """Exact global q-gram frequencies: explode → hash-aggregate.
+    Partial (map-side) aggregation makes the shuffle carry one row per
+    distinct token per partition, not per occurrence."""
+    return (
+        with_tokens(df, column, q, padding)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def average_token_count(df: DataFrame, column: str, q: int = 2, padding: str = "_") -> float:
+    row = (
+        with_tokens(df, column, q, padding)
+        .agg(F.avg(F.size("tokens")).alias("avg_tokens"))
+        .collect()[0]
+    )
+    return float(row["avg_tokens"])
+
+
+def ngram_entropy(df: DataFrame, column: str, q: int = 2, padding: str = "_") -> float:
+    """Shannon entropy −Σ p·log2 p over the token frequency relation
+    (lib.py:122-130), computed in a single aggregation via
+    H = log2(N) − (Σ f·log2 f)/N so no second pass for the total."""
+    freq = token_frequencies(df, column, q, padding)
+    row = freq.agg(
+        F.sum("freq").alias("n"),
+        F.sum(F.col("freq") * F.log2("freq")).alias("flogf"),
+    ).collect()[0]
+    n, flogf = float(row["n"]), float(row["flogf"])
+    import math
+
+    return math.log2(n) - flogf / n
+
+
+def compute_attribute_stats(
+    df: DataFrame, attributes: list[str], q: int = 2, padding: str = "_"
+) -> list[WeightedAttributeConfig]:
+    """Per-attribute (entropy → weight, avg distinct tokens) configs
+    (lib.py:133-162).  One pass per attribute; each is two hash
+    aggregations, no cross-attribute shuffle coupling."""
+    out = []
+    for attr in attributes:
+        avg = average_token_count(df, attr, q, padding)
+        ent = ngram_entropy(df, attr, q, padding)
+        out.append(WeightedAttributeConfig(attr, weight=ent, average_token_count=avg))
+    return out
