@@ -1,0 +1,14 @@
+"""Mergeable sketch library (from scratch, per BASELINE.json north_rule).
+
+HyperLogLog / count-min / Bloom / KLL / t-digest with explicit binary
+serialization and associative+commutative ``merge``, plus the two-phase
+Spark aggregation (`spark_agg`).  Error bounds per PAPERS.md / BASELINE.md.
+"""
+
+from .base import Sketch, deserialize  # noqa: F401
+from .bloom import BloomFilter  # noqa: F401
+from .cms import CountMinSketch  # noqa: F401
+from .hll import HyperLogLog  # noqa: F401
+from .kll import KLLSketch  # noqa: F401
+from .spark_agg import sketch_column, sketch_grouped  # noqa: F401
+from .tdigest import TDigest  # noqa: F401

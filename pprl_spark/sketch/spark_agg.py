@@ -1,0 +1,136 @@
+"""Two-phase mergeable-sketch aggregation over DataFrames.
+
+Pattern (SURVEY.md §2.8 / north_rule):
+
+1. **Hash JVM-side.**  Hash-based sketches (HLL/CMS/Bloom) consume 64-bit
+   hashes computed with the built-in ``F.xxhash64`` — whole-stage codegen,
+   no Python string hashing.  Rank sketches (KLL/t-digest) consume the
+   raw numeric column.
+2. **Partition-local partials** via ``mapInPandas``: one sketch per group
+   per partition, updated from Arrow batches.  This is the skew story:
+   the shuffle that follows carries *one KB-sized state per (partition,
+   group)* — a group holding half the table costs the same shuffle bytes
+   as a tiny one, so hot keys (``lang='en'`` at 60%) never produce a hot
+   shuffle partition.  No explicit salting needed for sketch aggs; salting
+   remains for the LSH candidate join where rows (not states) shuffle.
+3. **Final merge** via ``groupBy(keys).applyInPandas`` (or a driver-side
+   merge of the ≤ #partitions global partials).
+
+Associativity/commutativity of ``merge`` makes the result independent of
+partitioning — tested across ``repartition(p)`` for p ∈ {1, 2, 7, 32}.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .base import Sketch, deserialize
+
+__all__ = ["sketch_column", "sketch_grouped", "prepare_input"]
+
+
+def prepare_input(df: DataFrame, column: str, factory: Callable[[], Sketch]) -> DataFrame:
+    """Project the sketch input column: xxhash64 for hash sketches, double
+    cast for rank sketches.  Nulls are dropped (a null contributes nothing
+    to any of these sketches)."""
+    probe = factory()
+    if getattr(probe, "INPUT", "hash") == "hash":
+        return df.filter(F.col(column).isNotNull()).select(
+            F.xxhash64(F.col(column)).alias("__in")
+        )
+    return df.filter(F.col(column).isNotNull()).select(
+        F.col(column).cast("double").alias("__in")
+    )
+
+
+def _partials_map(factory: Callable[[], Sketch], group_cols: list[str]):
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sketches: dict[tuple, Sketch] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if group_cols:
+                for key, sub in pdf.groupby(group_cols, dropna=False, sort=False):
+                    if not isinstance(key, tuple):
+                        key = (key,)
+                    sk = sketches.get(key)
+                    if sk is None:
+                        sk = sketches[key] = factory()
+                    sk.update(sub["__in"].to_numpy())
+            else:
+                sk = sketches.get(())
+                if sk is None:
+                    sk = sketches[()] = factory()
+                sk.update(pdf["__in"].to_numpy())
+        rows = [
+            dict(zip(group_cols, key)) | {"state": sk.serialize()}
+            for key, sk in sketches.items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return _fn
+
+
+def sketch_column(df: DataFrame, column: str, factory: Callable[[], Sketch]) -> Sketch:
+    """Global (ungrouped) sketch of one column → merged Sketch object.
+
+    The partials (≤ one per input partition, KB each) are merged on the
+    driver — at 1000 executors that is ~1000 small rows, negligible."""
+    prepared = prepare_input(df, column, factory)
+    partial_rows = prepared.mapInPandas(
+        _partials_map(factory, []), schema="state binary"
+    ).collect()
+    result = factory()
+    for row in partial_rows:
+        result.merge(deserialize(bytes(row["state"])))
+    return result
+
+
+def sketch_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    column: str,
+    factory: Callable[[], Sketch],
+    estimate_name: str = "estimate",
+) -> DataFrame:
+    """Grouped sketch aggregation → DataFrame[group…, state BINARY,
+    estimate DOUBLE].
+
+    Phase 1 computes per-partition per-group partials (map-side combine);
+    phase 2 shuffles only the states and merges per group."""
+    probe = factory()
+    if getattr(probe, "INPUT", "hash") == "hash":
+        in_col = F.xxhash64(F.col(column)).alias("__in")
+    else:
+        in_col = F.col(column).cast("double").alias("__in")
+    prepared = df.filter(F.col(column).isNotNull()).select(*group_cols, in_col)
+
+    group_schema = ", ".join(
+        f"{name} {dtype}" for name, dtype in prepared.select(*group_cols).dtypes
+    )
+    partial_schema = f"{group_schema}, state binary"
+    partials = prepared.mapInPandas(_partials_map(factory, group_cols), schema=partial_schema)
+
+    out_schema = f"{group_schema}, state binary, {estimate_name} double"
+
+    def _merge(key: tuple, pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        merged: Sketch | None = None
+        for pdf in pdfs:
+            for state in pdf["state"]:
+                sk = deserialize(bytes(state))
+                merged = sk if merged is None else merged.merge(sk)
+        if merged is None:
+            return
+        yield pd.DataFrame(
+            [dict(zip(group_cols, key)) | {
+                "state": merged.serialize(),
+                estimate_name: float(merged.estimate()),
+            }]
+        )
+
+    return partials.groupBy(*group_cols).applyInPandas(_merge, schema=out_schema)
