@@ -1,0 +1,195 @@
+"""Checkpointed, resumable staged pipeline (north_rule: "checkpointed
+per-partition with lineage and metrics so any stage resumes mid-run").
+
+Model: a pipeline is an ordered list of stages; each stage is a pure
+function ``(spark, inputs: dict[name, DataFrame]) -> DataFrame`` whose
+output is checkpointed to parquet under ``workdir/<stage>/``.
+
+Resume semantics, Spark-first:
+
+* **Stage level** — a stage directory with Spark's ``_SUCCESS`` marker and
+  a matching ``lineage.json`` fingerprint is *done*: re-running the
+  pipeline reads the parquet instead of recomputing.  Spark's output
+  commit protocol already guarantees partial task outputs without
+  ``_SUCCESS`` are discarded, so a crashed stage re-runs cleanly.
+* **Chunk level (mid-stage resume)** — a stage may declare ``split_by``
+  (a column) and ``num_chunks``; the runner processes hash-chunks of the
+  input as independent checkpoints (``<stage>/chunk=<i>/``) and on resume
+  skips completed chunks.  This is the "skip completed partitions" path
+  for multi-hour encode stages.
+* **Lineage + metrics** — every stage writes ``lineage.json`` (input
+  stages, config fingerprint, schema) and ``metrics.json`` (row count,
+  wall seconds, per-Spark-partition row counts).
+
+A stage whose inputs' fingerprints changed is invalidated (its lineage no
+longer matches) and recomputed, as are all downstream stages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["Stage", "Pipeline"]
+
+
+def _fingerprint(obj) -> str:
+    return hashlib.sha256(json.dumps(obj, sort_keys=True, default=str).encode()).hexdigest()[:16]
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
+    inputs: tuple[str, ...] = ()
+    config: dict = field(default_factory=dict)
+    split_by: str | None = None
+    num_chunks: int = 1
+
+    def config_fingerprint(self) -> str:
+        return _fingerprint({"name": self.name, "config": self.config,
+                             "split_by": self.split_by, "num_chunks": self.num_chunks})
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, workdir: str | Path, stages: list[Stage]):
+        self.spark = spark
+        self.workdir = Path(workdir)
+        self.stages = stages
+        names = [s.name for s in stages]
+        if len(set(names)) != len(names):
+            raise ValueError("stage names must be unique")
+
+    # ---------------- paths ----------------
+
+    def _stage_dir(self, stage: Stage) -> Path:
+        return self.workdir / stage.name
+
+    def _data_dir(self, stage: Stage, chunk: int | None = None) -> Path:
+        base = self._stage_dir(stage) / "data"
+        return base if chunk is None else base / f"chunk={chunk}"
+
+    # ---------------- lineage ----------------
+
+    def _lineage_of(self, stage: Stage, upstream: dict[str, str]) -> dict:
+        return {
+            "stage": stage.name,
+            "config_fingerprint": stage.config_fingerprint(),
+            "inputs": {name: upstream[name] for name in stage.inputs},
+        }
+
+    def _is_complete(self, stage: Stage, lineage: dict) -> bool:
+        lineage_path = self._stage_dir(stage) / "lineage.json"
+        if not lineage_path.exists():
+            return False
+        recorded = json.loads(lineage_path.read_text())
+        return {k: recorded.get(k) for k in ("stage", "config_fingerprint", "inputs")} == lineage
+
+    def _chunk_complete(self, stage: Stage, chunk: int) -> bool:
+        return (self._data_dir(stage, chunk) / "_SUCCESS").exists()
+
+    # ---------------- execution ----------------
+
+    def _write_metrics(self, stage: Stage, df: DataFrame, wall_s: float,
+                       chunks_run: int, chunks_skipped: int) -> dict:
+        per_part = {
+            str(r["pid"]): r["rows"]
+            for r in df.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        }
+        metrics = {
+            "stage": stage.name,
+            "rows": int(sum(per_part.values())),
+            "wall_seconds": round(wall_s, 3),
+            "chunks_run": chunks_run,
+            "chunks_skipped": chunks_skipped,
+            "partition_rows": per_part,
+        }
+        (self._stage_dir(stage) / "metrics.json").write_text(json.dumps(metrics, indent=2))
+        return metrics
+
+    def _run_stage(self, stage: Stage, resolved: dict[str, DataFrame],
+                   upstream_fp: dict[str, str]) -> DataFrame:
+        lineage = self._lineage_of(stage, upstream_fp)
+        stage_dir = self._stage_dir(stage)
+        data_dir = self._data_dir(stage)
+
+        if self._is_complete(stage, lineage):
+            return self.spark.read.parquet(str(data_dir))
+
+        stage_dir.mkdir(parents=True, exist_ok=True)
+        inputs = {name: resolved[name] for name in stage.inputs}
+        start = time.monotonic()
+        chunks_run = chunks_skipped = 0
+
+        if stage.split_by and stage.num_chunks > 1:
+            # hash-chunked mid-stage resume: each chunk is an independent,
+            # idempotent checkpoint keyed on a stable hash of split_by.
+            # Chunks are only reusable for the SAME lineage: pending.json
+            # records which run the chunks belong to; a config/input change
+            # invalidates them wholesale.
+            pending_path = stage_dir / "pending.json"
+            lineage_fp = _fingerprint(lineage)
+            if not pending_path.exists() or json.loads(pending_path.read_text()).get("fp") != lineage_fp:
+                import shutil
+
+                if data_dir.exists():
+                    shutil.rmtree(data_dir)
+                pending_path.write_text(json.dumps({"fp": lineage_fp}))
+            out = stage.fn(self.spark, inputs)
+            chunk_expr = F.pmod(F.xxhash64(F.col(stage.split_by)), F.lit(stage.num_chunks))
+            for chunk in range(stage.num_chunks):
+                if self._chunk_complete(stage, chunk):
+                    chunks_skipped += 1
+                    continue
+                out.filter(chunk_expr == chunk).write.mode("overwrite").parquet(
+                    str(self._data_dir(stage, chunk))
+                )
+                chunks_run += 1
+            result = self.spark.read.option("basePath", str(data_dir)).parquet(
+                str(data_dir / "chunk=*")
+            ).drop("chunk")
+        else:
+            out = stage.fn(self.spark, inputs)
+            out.write.mode("overwrite").parquet(str(data_dir))
+            chunks_run = 1
+            result = self.spark.read.parquet(str(data_dir))
+
+        metrics = self._write_metrics(stage, result, time.monotonic() - start,
+                                      chunks_run, chunks_skipped)
+        (stage_dir / "lineage.json").write_text(
+            json.dumps(lineage | {"rows": metrics["rows"], "schema": result.schema.simpleString()},
+                       indent=2)
+        )
+        return result
+
+    def run(self, sources: dict[str, DataFrame] | None = None) -> dict[str, DataFrame]:
+        """Execute (or resume) all stages; returns stage name → DataFrame."""
+        resolved: dict[str, DataFrame] = dict(sources or {})
+        fingerprints: dict[str, str] = {
+            name: f"source:{name}" for name in (sources or {})
+        }
+        for stage in self.stages:
+            missing = [i for i in stage.inputs if i not in resolved]
+            if missing:
+                raise ValueError(f"stage `{stage.name}` is missing inputs {missing}")
+            resolved[stage.name] = self._run_stage(stage, resolved, fingerprints)
+            lineage = json.loads((self._stage_dir(stage) / "lineage.json").read_text())
+            fingerprints[stage.name] = _fingerprint(lineage)
+        return resolved
+
+    def metrics(self) -> dict[str, dict]:
+        out = {}
+        for stage in self.stages:
+            path = self._stage_dir(stage) / "metrics.json"
+            if path.exists():
+                out[stage.name] = json.loads(path.read_text())
+        return out

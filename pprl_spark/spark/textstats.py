@@ -1,0 +1,155 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything except language-ID is pure Catalyst column expressions (JVM,
+codegen, DuckDB-oracle-expressible): token counting, quality scoring,
+fingerprinting.  Language-ID is an n-gram/stopword heuristic over a
+broadcast profile table — a vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+__all__ = [
+    "whitespace_token_count",
+    "bpe_ish_token_count",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "content_fingerprint",
+    "rolling_fingerprints",
+    "lang_id_udf",
+    "with_text_stats",
+]
+
+# A BPE-ish pre-tokenization: word pieces, numbers, and single punctuation
+# marks (GPT-2-style pre-tokenizer shape, simplified to a portable regex).
+_BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+_STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "auf", "für"],
+    "fr": ["le", "la", "les", "de", "et", "des", "est", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "es", "por", "para"],
+    "pt": ["o", "a", "os", "de", "que", "e", "em", "é", "por", "para"],
+    "it": ["il", "la", "di", "che", "e", "in", "è", "per", "con", "non"],
+    "nl": ["de", "het", "een", "van", "en", "is", "dat", "op", "te", "voor"],
+    "sv": ["och", "att", "det", "som", "en", "är", "av", "för", "på", "med"],
+}
+
+ALL_STOPWORDS = sorted({w for ws in _STOPWORDS.values() for w in ws})
+
+
+def _as_col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    col = _as_col(col)
+    return F.size(F.filter(F.split(col, r"\s+"), lambda w: w != "")).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens via regexp_count — JVM-side."""
+    return F.regexp_count(_as_col(col), F.lit(_BPE_ISH)).cast("long")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    col = _as_col(col)
+    return (
+        F.regexp_count(col, F.lit(r"[^A-Za-z0-9\s]"))
+        / F.greatest(F.length(col), F.lit(1))
+    ).cast("double")
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of whitespace tokens that are (any-language) stopwords."""
+    words = F.filter(F.split(F.lower(_as_col(col)), r"\s+"), lambda w: w != "")
+    sw = F.array(*[F.lit(w) for w in ALL_STOPWORDS])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return (hits / F.greatest(F.size(words), F.lit(1))).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: length band + moderate
+    punctuation + mean word length band.  Deliberately simple, fully
+    SQL-expressible (oracle-checkable)."""
+    col = _as_col(col)
+    n_chars = F.length(col)
+    n_words = whitespace_token_count(col)
+    mean_word = n_chars / F.greatest(n_words, F.lit(1))
+    len_ok = F.when((n_chars >= 20) & (n_chars <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    word_ok = F.when((mean_word >= 2.5) & (mean_word <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return ((len_ok + punct_ok + word_ok) / F.lit(3.0)).cast("double")
+
+
+def content_fingerprint(col: Column | str) -> Column:
+    """64-bit whole-document fingerprint of whitespace-normalized text."""
+    normalized = F.concat_ws(" ", F.filter(F.split(_as_col(col), r"\s+"), lambda w: w != ""))
+    return F.xxhash64(normalized)
+
+
+def rolling_fingerprints(col: Column | str, window: int = 4) -> Column:
+    """array<long> Rabin–Karp-style rolling fingerprints over word
+    ``window``-grams (shingle fingerprints for containment detection) —
+    pure Catalyst: slide over the word array and hash each window."""
+    words = F.filter(F.split(_as_col(col), r"\s+"), lambda w: w != "")
+    n = F.size(words)
+    starts = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))
+    return F.transform(
+        starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, window)))
+    )
+
+
+def lang_id_udf():
+    """Heuristic language-ID: score each language's stopword profile over
+    the lowercased word set; ties and zero evidence → 'und'.  Vectorized
+    per Arrow batch with a numpy membership matrix."""
+    langs = sorted(_STOPWORDS)
+    vocab: dict[str, int] = {}
+    for lang in langs:
+        for w in _STOPWORDS[lang]:
+            vocab.setdefault(w, len(vocab))
+    profile = np.zeros((len(vocab), len(langs)), dtype=np.float64)
+    for j, lang in enumerate(langs):
+        for w in _STOPWORDS[lang]:
+            profile[vocab[w], j] += 1.0
+
+    @F.pandas_udf(StringType())
+    def _lang(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            if not text:
+                out.append("und")
+                continue
+            counts = np.zeros(len(vocab))
+            for w in text.lower().split():
+                idx = vocab.get(w)
+                if idx is not None:
+                    counts[idx] += 1
+            scores = counts @ profile
+            best = int(scores.argmax())
+            out.append(langs[best] if scores[best] > 0 else "und")
+        return pd.Series(out)
+
+    return _lang
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column family — one narrow projection."""
+    col = F.col(text_col)
+    return df.select(
+        "*",
+        whitespace_token_count(col).alias("n_tokens_ws"),
+        bpe_ish_token_count(col).alias("n_tokens_bpe"),
+        punct_ratio(col).alias("punct_ratio"),
+        stopword_ratio(col).alias("stopword_ratio"),
+        quality_score(col).alias("quality"),
+        content_fingerprint(col).alias("fingerprint"),
+        lang_id_udf()(col).alias("lang_pred"),
+    )
