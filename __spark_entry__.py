@@ -49,22 +49,33 @@ def _flagship_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("id"), F.col("text")
     )
+    # Config notes, tuned on the testdata similarity distribution:
+    # * q=4 grams — the synthetic word-salad corpus has ~146 distinct
+    #   bigrams, so q=2 vectors are all near-identical; 4-grams separate
+    #   true near-duplicates (dice >= 0.85) from the background (<= 0.68).
+    # * m=1024, k=3 sizes the filter to ~45% fill,
+    #   the Hamming-LSH operating point: sparse vectors agree on their
+    #   zeros, so background bit-agreement would approach 1 and every pair
+    #   would collide; at 50% fill background agreement drops to ~0.5 and
+    #   0.5^band_width kills false candidates.
     cfg = MaskConfig(
-        filter=CLKFilter(1024, 5),
+        filter=CLKFilter(1024, 3),
         hash=HashConfig(HashFunctionConfig(("sha256", "md5")), "double_hash"),
-        token_size=2,
+        token_size=4,
         padding="_",
         prepend_attribute_name=False,
     )
     encoded = mask(docs, cfg, ["text"])
-    # threshold chosen against the testdata similarity distribution: the
-    # synthetic word-salad docs share most bigrams, so only >=0.97 Dice
-    # marks true near-duplicates (~3.7k pairs at sf0.01, not 89k at 0.8)
+    # band_width=16 so the corpus's high background bit-agreement
+    # (~0.52 at this fill) yields ~1.6e-3 collisions/pair,
+    # while borderline 0.85-dice pairs (agreement ~0.87) collide w.p. 0.999;
+    # max_bucket_size drops degenerate all-agree buckets (hot-key guard)
     return match_lsh(
         encoded,
         None,
-        MatchConfig("dice", 0.97),
-        LSHConfig(num_bits=1024, num_bands=32, band_width=16, seed=727),
+        MatchConfig("dice", 0.85),
+        LSHConfig(num_bits=1024, num_bands=64, band_width=16, seed=727),
+        max_bucket_size=400,
     )
 
 
@@ -351,7 +362,7 @@ def minhash_dedup_pairs(spark, sf_dir):
     from pprl_spark.spark.dedup import jaccard_verify, minhash_lsh_pairs
 
     docs = _load(spark, sf_dir, "documents")
-    cands = minhash_lsh_pairs(docs, "doc_id", "text", q=5, num_hashes=64, bands=16)
+    cands = minhash_lsh_pairs(docs, "doc_id", "text", q=5, num_hashes=128, bands=16)
     return jaccard_verify(cands, docs, "doc_id", "text", q=5, threshold=0.8).select(
         "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
     )

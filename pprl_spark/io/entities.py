@@ -1,0 +1,102 @@
+"""CSV/parquet/Iceberg sources and sinks.
+
+Reference parity (§2.1):
+* entity CSV — header row, one id column, remaining columns are string
+  attributes (`_read_attribute_value_entity_file`, pprl_client
+  cli.py:248-268).
+* bit-vector CSV — columns ``(id, value)`` with base64-packed vectors
+  (cli.py:128-153); decoded here to ``BINARY`` via ``unbase64``.
+* match CSV — ``(domain_id, domain_file, range_id, range_file,
+  similarity)`` (cli.py:202-245).
+
+Production source: ``read_pages`` loads the BASELINE ``pages`` table from
+an Iceberg table name when an Iceberg catalog is configured, else a
+parquet path — same DataFrame either way, so every downstream stage is
+storage-agnostic (Catalyst still prunes the unused ``html`` column and
+partition-prunes on ``warc_ts``/``lang`` predicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "read_entity_csv",
+    "read_bit_vector_csv",
+    "write_bit_vector_csv",
+    "write_match_csv",
+    "read_pages",
+]
+
+
+def read_entity_csv(spark: SparkSession, path: str, id_column: str = "id") -> DataFrame:
+    """CSV → entity DataFrame; every non-id column stays a string
+    attribute.  Missing id column raises, like the reference CLI."""
+    df = spark.read.csv(path, header=True, inferSchema=False)
+    if id_column not in df.columns:
+        raise ValueError(f"column `{id_column}` not found in `{path}`")
+    if id_column != "id":
+        df = df.withColumnRenamed(id_column, "id")
+    return df
+
+
+def read_bit_vector_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV of (id, value=base64) → (id STRING, bloom BINARY).
+
+    Invalid base64 rows surface as an error with the offending ids
+    (reference routers/match.py:19-36 semantics) rather than silent nulls.
+    """
+    df = spark.read.csv(path, header=True, inferSchema=False)
+    decoded = df.select(
+        "id", F.col("value"), F.unbase64(F.col("value")).alias("bloom")
+    )
+    bad = decoded.filter(
+        F.col("value").isNotNull() & ~F.col("value").rlike(r"^[A-Za-z0-9+/]*={0,2}$")
+    )
+    bad_ids = [r["id"] for r in bad.select("id").limit(20).collect()]
+    if bad_ids:
+        raise ValueError(
+            f"invalid Base64 encoded bit vectors on entities with IDs {', '.join(bad_ids)}"
+        )
+    return decoded.select("id", "bloom")
+
+
+def write_bit_vector_csv(df: DataFrame, path: str, bloom_col: str = "bloom") -> None:
+    """(id, bloom BINARY) → CSV (id, value=base64), reference mask-sink
+    shape (cli.py:60-93)."""
+    df.select("id", F.base64(F.col(bloom_col)).alias("value")).write.mode(
+        "overwrite"
+    ).csv(path, header=True)
+
+
+def write_match_csv(
+    matches: DataFrame, path: str, domain_file: str = "domain", range_file: str = "range"
+) -> None:
+    """Match sink (cli.py:202-245 column layout)."""
+    matches.select(
+        F.col("domain_id"),
+        F.lit(domain_file).alias("domain_file"),
+        F.col("range_id"),
+        F.lit(range_file).alias("range_file"),
+        F.col("similarity"),
+    ).write.mode("overwrite").csv(path, header=True)
+
+
+def read_pages(spark: SparkSession, location: str) -> DataFrame:
+    """Load the pages(url, warc_ts, html, text, lang) table.
+
+    ``location`` is an Iceberg table name (contains no '/') when an
+    Iceberg catalog is on the classpath, else a parquet path.  The sandbox
+    has no Iceberg jars, so the parquet path is the tested branch; the
+    Iceberg branch is the same one-liner with format("iceberg").
+    """
+    if "/" not in location:
+        try:
+            return spark.read.format("iceberg").load(location)
+        except Exception as exc:  # noqa: BLE001 - no iceberg runtime present
+            raise RuntimeError(
+                f"Iceberg table `{location}` requested but no Iceberg runtime "
+                f"is available: {exc}"
+            ) from exc
+    return spark.read.parquet(location)

@@ -118,25 +118,49 @@ def match_lsh(
     """LSH-blocked match.  ``df_range=None`` → self-dedup mode (emit each
     unordered pair once, ``domain_id < range_id``).
 
-    Plan shape: band-explode (narrow) → equi-join on (band, sig) (one
-    shuffle per side, AQE-skew-splittable) → pair dedup (one shuffle) →
-    similarity UDF + threshold (narrow).
+    Plan shape: band-explode (narrow) → equi-join on (band, sig) over SLIM
+    (id, band, sig) rows → pair dedup on the slim pairs → join the packed
+    vectors back by id → similarity UDF + threshold (narrow).  Candidates
+    usually outnumber the corpus by orders of magnitude, so the candidate
+    shuffles carry 16-byte id pairs, not 2×m-bit vectors; the vectors ride
+    only the two final id-keyed joins.
     """
-    dom = add_band_signatures(
-        _prefixed(df_domain, id_col, bloom_col, "domain"), lsh, "__domain_bloom"
+    # The id-keyed repartition is load-bearing twice over: (1) it puts a
+    # stage boundary between the caller's encode UDF and the band UDF —
+    # two Arrow UDFs chained in ONE stage run two Python workers per core
+    # and oversubscribe the box (measured 6x slowdown at local[32]); (2)
+    # the Exchange output is reused (ReusedExchange) by both the banding
+    # branch and the final vector join, so the encode UDF runs once.
+    # explicit partition count: encoded vectors are tiny relative to the
+    # candidate work they seed, so AQE's size-based coalescing would fold
+    # this exchange into one partition and serialize the band stage
+    n_parts = max(df_domain.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    dom_vec = _prefixed(df_domain, id_col, bloom_col, "domain").repartition(
+        n_parts, "domain_id"
     )
+    dom = add_band_signatures(
+        dom_vec.select("domain_id", F.col("__domain_bloom").alias("__b")),
+        lsh,
+        "__b",
+    ).select("domain_id", "band", "sig")
     if df_range is None:
-        rng_side = dom.select(
+        rng_vec = dom_vec.select(
             F.col("domain_id").alias("range_id"),
             F.col("__domain_bloom").alias("__range_bloom"),
-            "band",
-            "sig",
+        )
+        rng_side = dom.select(
+            F.col("domain_id").alias("range_id"), "band", "sig"
         )
         pair_filter = F.col("domain_id") < F.col("range_id")
     else:
-        rng_side = add_band_signatures(
-            _prefixed(df_range, id_col, bloom_col, "range"), lsh, "__range_bloom"
+        rng_vec = _prefixed(df_range, id_col, bloom_col, "range").repartition(
+            n_parts, "range_id"
         )
+        rng_side = add_band_signatures(
+            rng_vec.select("range_id", F.col("__range_bloom").alias("__b")),
+            lsh,
+            "__b",
+        ).select("range_id", "band", "sig")
         pair_filter = F.lit(True)
 
     if max_bucket_size is not None:
@@ -151,8 +175,10 @@ def match_lsh(
     pairs = (
         dom.join(rng_side, on=["band", "sig"], how="inner")
         .filter(pair_filter)
-        .select("domain_id", "range_id", "__domain_bloom", "__range_bloom")
+        .select("domain_id", "range_id")
         .dropDuplicates(["domain_id", "range_id"])
+        .join(dom_vec, "domain_id")
+        .join(rng_vec, "range_id")
     )
     return _score_and_filter(pairs, cfg)
 

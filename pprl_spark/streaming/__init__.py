@@ -1,0 +1,8 @@
+"""Structured Streaming stages.
+
+The reference is pure request/response (no streaming); these wrappers run
+the same deterministic encode kernel over an unbounded source — the
+incremental-ingest shape for a continuously-crawled pages table.
+"""
+
+from .encode_stream import streaming_mask, streaming_windowed_counts  # noqa: F401
