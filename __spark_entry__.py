@@ -406,6 +406,159 @@ def multimodal_decode(spark, sf_dir):
     return feats.select("doc_id", "width", "height", "n_channels", "sha256")
 
 
+
+
+def transform_datetime(spark, sf_dir):
+    """date_time transformer (reference transform.py:58-62) over orders."""
+    from pprl_spark.config import AttributeTransformerConfig, TransformConfig, TransformerSpec
+    from pprl_spark.spark.transform import transform
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("string").alias("odate")
+    )
+    cfg = TransformConfig(
+        attribute_transformers=(
+            AttributeTransformerConfig(
+                "odate",
+                (TransformerSpec("date_time", input_format="%Y-%m-%d %H:%M:%S",
+                                 output_format="%d.%m.%Y"),),
+            ),
+        ),
+    )
+    return transform(orders, cfg, ["odate"])
+
+
+def transform_number(spark, sf_dir):
+    """number transformer (transform.py:49-55): reformat discounts to 2dp."""
+    from pprl_spark.config import AttributeTransformerConfig, TransformConfig, TransformerSpec
+    from pprl_spark.spark.transform import transform
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_discount").cast("string").alias("disc")
+    )
+    cfg = TransformConfig(
+        attribute_transformers=(
+            AttributeTransformerConfig("disc", (TransformerSpec("number", decimal_places=2),)),
+        ),
+    )
+    return transform(li, cfg, ["disc"])
+
+
+def transform_mapping(spark, sf_dir):
+    """mapping transformer with default (transform.py:83-94)."""
+    from pprl_spark.config import AttributeTransformerConfig, TransformConfig, TransformerSpec
+    from pprl_spark.spark.transform import transform
+
+    cust = _load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    cfg = TransformConfig(
+        attribute_transformers=(
+            AttributeTransformerConfig(
+                "seg",
+                (TransformerSpec("mapping",
+                                 mapping={"BUILDING": "B", "MACHINERY": "M", "AUTOMOBILE": "A"},
+                                 default_value="X"),),
+            ),
+        ),
+    )
+    return transform(cust, cfg, ["seg"])
+
+
+def pprl_mask_hardened(spark, sf_dir):
+    """CLK + full hardener chain (balance/permute/rule_90/xor_fold)."""
+    from pprl_spark.config import (CLKFilter, HardenerConfig, HashConfig,
+                                   HashFunctionConfig, MaskConfig)
+    from pprl_spark.spark.mask import mask_b64
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    cfg = MaskConfig(
+        filter=CLKFilter(512, 5),
+        hash=HashConfig(HashFunctionConfig(("sha1",)), "double_hash"),
+        token_size=2,
+        padding="_",
+        prepend_attribute_name=False,
+        hardeners=(
+            HardenerConfig("balance"),
+            HardenerConfig("permute", seed=727),
+            HardenerConfig("rule_90"),
+            HardenerConfig("xor_fold"),
+        ),
+    )
+    return mask_b64(docs, cfg, ["text"])
+
+
+def pprl_mask_rbf(spark, sf_dir):
+    """RBF encoder over two weighted attributes (routers/mask.py:292-382)."""
+    from pprl_spark.config import (HashConfig, HashFunctionConfig, MaskConfig,
+                                   RBFFilter, WeightedAttributeConfig)
+    from pprl_spark.spark.mask import mask_b64
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text", "lang"
+    )
+    cfg = MaskConfig(
+        filter=RBFFilter(hash_values=4, seed=727),
+        hash=HashConfig(HashFunctionConfig(("sha1",)), "double_hash"),
+        token_size=2,
+        padding="_",
+        attributes=(
+            WeightedAttributeConfig("text", weight=4, average_token_count=40),
+            WeightedAttributeConfig("lang", weight=1, average_token_count=3),
+        ),
+    )
+    return mask_b64(docs, cfg, ["text", "lang"])
+
+
+def pprl_mask_clkrbf(spark, sf_dir):
+    """CLKRBF encoder: weight-scaled k per attribute (routers/mask.py:238-289)."""
+    from pprl_spark.config import (CLKRBFFilter, HashConfig, HashFunctionConfig,
+                                   MaskConfig, WeightedAttributeConfig)
+    from pprl_spark.spark.mask import mask_b64
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text", "lang"
+    )
+    cfg = MaskConfig(
+        filter=CLKRBFFilter(hash_values=3),
+        hash=HashConfig(HashFunctionConfig(("sha1",)), "double_hash"),
+        token_size=2,
+        padding="_",
+        attributes=(
+            WeightedAttributeConfig("text", weight=4, average_token_count=40),
+            WeightedAttributeConfig("lang", weight=1, average_token_count=3),
+        ),
+    )
+    return mask_b64(docs, cfg, ["text", "lang"])
+
+
+def pprl_match_crosswise_sample(spark, sf_dir):
+    """Exhaustive crosswise matcher (routers/match.py:54-67) on a 100-doc
+    sample - the oracle semantics the LSH matcher reproduces."""
+    from pprl_spark.config import (CLKFilter, HashConfig, HashFunctionConfig,
+                                   MaskConfig, MatchConfig)
+    from pprl_spark.spark.mask import mask
+    from pprl_spark.spark.match import match_crosswise
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    cfg = MaskConfig(
+        filter=CLKFilter(1024, 3),
+        hash=HashConfig(HashFunctionConfig(("sha256", "md5")), "double_hash"),
+        token_size=4,
+        padding="_",
+        prepend_attribute_name=False,
+    )
+    enc = mask(docs, cfg, ["text"])
+    out = match_crosswise(enc, enc, MatchConfig("jaccard", 0.55), broadcast_range=True)
+    return out.filter(F.col("domain_id") < F.col("range_id")).select(
+        "domain_id", "range_id", F.round(F.col("similarity"), 6).alias("similarity")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational / aggregation / join / window coverage
@@ -425,6 +578,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacent_jaccard": adjacent_jaccard,
         "fingerprint_md5": fingerprint_md5,
         "embedding_topk": embedding_topk,
+        # transform chains (reference 2.2)
+        "transform_datetime": transform_datetime,
+        "transform_number": transform_number,
+        "transform_mapping": transform_mapping,
         # sketches (rows-only)
         "hll_distinct_users": hll_distinct_users,
         "hll_distinct_texts_by_lang": hll_distinct_urls_by_lang,
@@ -434,7 +591,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_customer_membership": bloom_customer_membership,
         # PPRL stages (bit-exact; rows-only)
         "pprl_mask_documents": pprl_mask_documents,
+        "pprl_mask_hardened": pprl_mask_hardened,
+        "pprl_mask_rbf": pprl_mask_rbf,
+        "pprl_mask_clkrbf": pprl_mask_clkrbf,
         "pprl_match_lsh": pprl_match_lsh,
+        "pprl_match_crosswise_sample": pprl_match_crosswise_sample,
         # near-dup / ANN / text (rows-only where xxhash64/UDF-based)
         "minhash_dedup_pairs": minhash_dedup_pairs,
         "simhash_dup_pairs": simhash_dup_pairs,
@@ -456,6 +617,22 @@ WITH grams AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "transform_datetime": """
+            SELECT o_orderkey, strftime(o_orderdate, '%d.%m.%Y') AS odate
+            FROM orders
+        """,
+        "transform_number": """
+            SELECT l_orderkey, l_linenumber, printf('%.2f', l_discount) AS disc
+            FROM lineitem
+        """,
+        "transform_mapping": """
+            SELECT c_custkey,
+                   CASE c_mktsegment WHEN 'BUILDING' THEN 'B'
+                                     WHEN 'MACHINERY' THEN 'M'
+                                     WHEN 'AUTOMOBILE' THEN 'A'
+                                     ELSE 'X' END AS seg
+            FROM customer
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
