@@ -44,13 +44,13 @@ def build_stages(pages_path: str, docs_mode: bool, encode_chunks: int):
     from pprl_spark.spark.transform import transform
 
     mask_cfg = MaskConfig(
-        filter=CLKFilter(1024, 5),
+        filter=CLKFilter(1024, 3),
         hash=HashConfig(HashFunctionConfig(("sha256", "md5")), "double_hash"),
         token_size=4,
         padding="_",
         prepend_attribute_name=False,
     )
-    lsh_cfg = LSHConfig(num_bits=1024, num_bands=64, band_width=20, seed=727)
+    lsh_cfg = LSHConfig(num_bits=1024, num_bands=64, band_width=16, seed=727)
     match_cfg = MatchConfig("dice", 0.85)
     transform_cfg = TransformConfig(
         attribute_transformers=(
@@ -99,10 +99,10 @@ def build_stages(pages_path: str, docs_mode: bool, encode_chunks: int):
         Stage("transform", normalize_stage, inputs=("extract",),
               config={"transformers": "normalization"}),
         Stage("encode", encode, inputs=("transform",),
-              config={"m": 1024, "k": 5, "q": 4},
+              config={"m": 1024, "k": 3, "q": 4},
               split_by="id", num_chunks=encode_chunks),
         Stage("match", block_match, inputs=("encode",),
-              config={"threshold": 0.85, "bands": 64, "width": 20}),
+              config={"threshold": 0.85, "bands": 64, "width": 16}),
         Stage("sketch", sketch_stage, inputs=("encode", "match")),
     ]
 
