@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -58,9 +59,13 @@ def _flagship_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   zeros, so background bit-agreement would approach 1 and every pair
     #   would collide; at 50% fill background agreement drops to ~0.5 and
     #   0.5^band_width kills false candidates.
+    # * single-sha256 digest chain: same bit-exact reference semantics
+    #   (a 1-element chain is a valid reference config) AND DuckDB-
+    #   expressible, so the whole flagship — mask and LSH match — is
+    #   oracle-checked end to end.
     cfg = MaskConfig(
         filter=CLKFilter(1024, 3),
-        hash=HashConfig(HashFunctionConfig(("sha256", "md5")), "double_hash"),
+        hash=HashConfig(HashFunctionConfig(("sha256",)), "double_hash"),
         token_size=4,
         padding="_",
         prepend_attribute_name=False,
@@ -69,12 +74,14 @@ def _flagship_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band_width=16 so the corpus's high background bit-agreement
     # (~0.52 at this fill) yields ~1.6e-3 collisions/pair,
     # while borderline 0.85-dice pairs (agreement ~0.87) collide w.p. 0.999;
-    # max_bucket_size drops degenerate all-agree buckets (hot-key guard)
+    # max_bucket_size drops degenerate all-agree buckets (hot-key guard).
+    # chunked scheme: 64 contiguous 16-bit bands tile the 1024 bits exactly
+    # — banding is pure JVM (no Python stage) and SQL-expressible.
     return match_lsh(
         encoded,
         None,
         MatchConfig("dice", 0.85),
-        LSHConfig(num_bits=1024, num_bands=64, band_width=16, seed=727),
+        LSHConfig(num_bits=1024, num_bands=64, band_width=16, seed=727, scheme="chunked"),
         max_bucket_size=400,
     )
 
@@ -269,37 +276,91 @@ def embedding_topk(spark, sf_dir):
 # non-SQL-expressible queries (rows-only driver check)
 # ---------------------------------------------------------------------------
 
+# Sketch queries are assertion-shaped (VERDICT r1 #2): the DataFrame carries
+# the EXACT answer (oracle-checkable in SQL) plus a boolean asserting the
+# sketch estimate landed inside its published error bound — so the driver's
+# hash-match row verifies both the exact plumbing and the sketch quality.
+# Tighter bound checks (3σ, merge bit-identity across partitionings) live in
+# tests/test_sketch_spark.py.
+
 def hll_distinct_users(spark, sf_dir):
+    import math
+
     from pprl_spark.sketch import HyperLogLog, sketch_column
 
     ev = _load(spark, sf_dir, "events")
     sk = sketch_column(ev, "user_id", lambda: HyperLogLog(p=14))
-    return spark.createDataFrame([(float(sk.estimate()),)], "hll_estimate double")
+    exact = ev.agg(F.countDistinct("user_id").alias("d")).first()["d"]
+    sigma = 1.04 / math.sqrt(2 ** 14)
+    ok = abs(float(sk.estimate()) - exact) <= 3 * sigma * exact
+    return spark.createDataFrame(
+        [(int(exact), bool(ok))], "exact_distinct long, within_3sigma boolean"
+    )
 
 
 def hll_distinct_urls_by_lang(spark, sf_dir):
+    import math
+
     from pprl_spark.sketch import HyperLogLog
     from pprl_spark.sketch.spark_agg import sketch_grouped
 
     docs = _load(spark, sf_dir, "documents")
-    out = sketch_grouped(docs, ["lang"], "text", lambda: HyperLogLog(p=14),
-                         estimate_name="distinct_texts")
-    return out.select("lang", F.round(F.col("distinct_texts"), 1).alias("distinct_texts"))
+    est = sketch_grouped(docs, ["lang"], "text", lambda: HyperLogLog(p=14),
+                         estimate_name="est").select("lang", "est")
+    exact = docs.groupBy("lang").agg(F.countDistinct("text").alias("exact_distinct"))
+    sigma = 1.04 / math.sqrt(2 ** 14)
+    return (
+        exact.join(est, "lang")
+        .select(
+            "lang",
+            "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= F.lit(3 * sigma) * F.col("exact_distinct")
+            ).alias("within_3sigma"),
+        )
+    )
 
 
 def cms_event_type_counts(spark, sf_dir):
+    import math
+
     from pprl_spark.sketch import CountMinSketch, sketch_column
 
+    width, depth = 2719, 5
     ev = _load(spark, sf_dir, "events")
-    sk = sketch_column(ev, "event_type", lambda: CountMinSketch(width=2719, depth=5))
-    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
-    hashes = {
-        r["event_type"]: r["h"]
-        for r in ev.select("event_type").distinct()
-        .select("event_type", F.xxhash64("event_type").alias("h")).collect()
-    }
-    rows = [(t, int(sk.estimate([hashes[t]])[0])) for t in sorted(types)]
-    return spark.createDataFrame(rows, "event_type string, est_count long")
+    sk = sketch_column(ev, "event_type", lambda: CountMinSketch(width=width, depth=depth))
+    # one driver pass: per-type exact counts + their xxhash64 probe keys
+    rows = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", "n", F.xxhash64("event_type").alias("h"))
+        .collect()
+    )
+    total = sum(r["n"] for r in rows)
+    eps = math.e / width
+    out = []
+    for r in sorted(rows, key=lambda r: r["event_type"]):
+        est = int(sk.estimate([r["h"]])[0])
+        ok = r["n"] <= est <= r["n"] + eps * total
+        out.append((r["event_type"], int(r["n"]), bool(ok)))
+    return spark.createDataFrame(out, "event_type string, exact_count long, within_bound boolean")
+
+
+def _rank_check_rows(spark, sf_dir, quantiles, estimates, tol):
+    """(q, rank_ok) rows: the sketch's value estimate must sit within
+    ``tol`` of the requested normalized rank in the exact data."""
+    ev = _load(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum((F.col("value") <= F.lit(v)).cast("long")).alias(f"__r{i}")
+        for i, v in enumerate(estimates)
+    ]
+    row = ev.agg(*aggs).first()
+    out = []
+    for i, q in enumerate(quantiles):
+        rank = row[f"__r{i}"] / row["__n"]
+        out.append((float(q), bool(abs(rank - q) <= tol)))
+    return spark.createDataFrame(out, "q double, rank_ok boolean")
 
 
 def kll_value_quantiles(spark, sf_dir):
@@ -307,8 +368,8 @@ def kll_value_quantiles(spark, sf_dir):
 
     ev = _load(spark, sf_dir, "events")
     sk = sketch_column(ev, "value", lambda: KLLSketch(k=200))
-    rows = [(q, float(sk.quantile(q))) for q in (0.1, 0.5, 0.9)]
-    return spark.createDataFrame(rows, "q double, value double")
+    qs = (0.1, 0.5, 0.9)
+    return _rank_check_rows(spark, sf_dir, qs, [float(sk.quantile(q)) for q in qs], tol=0.02)
 
 
 def tdigest_value_quantiles(spark, sf_dir):
@@ -316,22 +377,49 @@ def tdigest_value_quantiles(spark, sf_dir):
 
     ev = _load(spark, sf_dir, "events")
     sk = sketch_column(ev, "value", lambda: TDigest(compression=100))
-    rows = [(q, float(sk.quantile(q))) for q in (0.01, 0.5, 0.99)]
-    return spark.createDataFrame(rows, "q double, value double")
+    qs = (0.01, 0.5, 0.99)
+    return _rank_check_rows(spark, sf_dir, qs, [float(sk.quantile(q)) for q in qs], tol=0.02)
 
 
 def bloom_customer_membership(spark, sf_dir):
+    """Build the filter from ``customer``, probe ALL of ``orders``
+    executor-side (broadcast filter state + vectorized membership in a
+    pandas UDF — no driver collect of the fact table, VERDICT r1 #3).
+    ``fp_ok`` probes deliberately-absent keys and checks the false-positive
+    rate against 3× the filter's design point."""
     from pprl_spark.sketch import BloomFilter, sketch_column
+    from pprl_spark.sketch.base import deserialize
 
     cust = _load(spark, sf_dir, "customer")
     orders = _load(spark, sf_dir, "orders")
     bf = sketch_column(cust, "c_custkey", lambda: BloomFilter.for_capacity(200_000, 0.01))
-    hashes = orders.select(F.xxhash64("o_custkey").alias("h"))
-    import numpy as np
+    state = spark.sparkContext.broadcast(bf.serialize())
+    holder: list = []
 
-    hits = int(bf.contains(np.array([r["h"] for r in hashes.collect()], dtype=np.int64)).sum())
-    total = orders.count()
-    return spark.createDataFrame([(hits, total)], "member_hits long, total long")
+    @F.pandas_udf("boolean")
+    def _member(h: pd.Series) -> pd.Series:
+        if not holder:
+            holder.append(deserialize(state.value))
+        return pd.Series(holder[0].contains(h.to_numpy()))
+
+    probes = orders.select(
+        F.xxhash64("o_custkey").alias("__h"),
+        # keys guaranteed absent from customer: shifted far past the keyspace
+        F.xxhash64((F.col("o_custkey") + F.lit(1_000_000_000)).cast("long")).alias("__hn"),
+    )
+    row = probes.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(_member(F.col("__h")).cast("long")).alias("hits"),
+        F.sum(_member(F.col("__hn")).cast("long")).alias("fp"),
+    ).first()
+    return spark.createDataFrame(
+        [(
+            int(row["total"]),
+            bool(row["hits"] == row["total"]),
+            bool(row["fp"] / max(row["total"], 1) <= 0.03),
+        )],
+        "total_probes long, all_members_hit boolean, fp_ok boolean",
+    )
 
 
 def pprl_mask_documents(spark, sf_dir):
@@ -343,7 +431,7 @@ def pprl_mask_documents(spark, sf_dir):
     )
     cfg = MaskConfig(
         filter=CLKFilter(1024, 5),
-        hash=HashConfig(HashFunctionConfig(("sha256", "md5")), "double_hash"),
+        hash=HashConfig(HashFunctionConfig(("sha256",)), "double_hash"),
         token_size=2,
         padding="_",
         prepend_attribute_name=False,
@@ -372,15 +460,17 @@ def simhash_dup_pairs(spark, sf_dir):
     from pprl_spark.spark.dedup import simhash_pairs
 
     docs = _load(spark, sf_dir, "documents")
-    pairs = simhash_pairs(docs, "doc_id", "text", q=3, chunks=4)
+    # 8 chunks of 8 bits: pigeonhole guarantees recall for hamming <= 7,
+    # so the <= 6 filter below is exact (ADVICE r1)
+    pairs = simhash_pairs(docs, "doc_id", "text", q=3, chunks=8)
     return pairs.filter(F.col("hamming") <= 6)
 
 
 def langid_documents(spark, sf_dir):
-    from pprl_spark.spark.textstats import lang_id_udf
+    from pprl_spark.spark.textstats import lang_id_col
 
     docs = _load(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id_udf()(F.col("text")).alias("lang_pred"))
+    return docs.select("doc_id", lang_id_col(F.col("text")).alias("lang_pred"))
 
 
 def ann_lsh_topk(spark, sf_dir):
@@ -523,7 +613,7 @@ def pprl_mask_clkrbf(spark, sf_dir):
     )
     cfg = MaskConfig(
         filter=CLKRBFFilter(hash_values=3),
-        hash=HashConfig(HashFunctionConfig(("sha1",)), "double_hash"),
+        hash=HashConfig(HashFunctionConfig(("sha256",)), "double_hash"),
         token_size=2,
         padding="_",
         attributes=(
@@ -547,7 +637,7 @@ def pprl_match_crosswise_sample(spark, sf_dir):
     )
     cfg = MaskConfig(
         filter=CLKFilter(1024, 3),
-        hash=HashConfig(HashFunctionConfig(("sha256", "md5")), "double_hash"),
+        hash=HashConfig(HashFunctionConfig(("sha256",)), "double_hash"),
         token_size=4,
         padding="_",
         prepend_attribute_name=False,
@@ -615,8 +705,284 @@ WITH grams AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# DuckDB reproduction of the CLK encode chain (reference routers/mask.py:
+# 203-235 + bits.py:67-79): sha256(token) → first 16 bytes as 4 signed
+# little-endian int32 (common.py:31-43) → double-hash indices h1+i·h2 with
+# h1=i0^i1, h2=i2^i3 (mask.py:149-150) → negative fold ~idx (bits.py:20-37)
+# → mod m → MSB-first byte packing → base64.  Single-sha256 chains only
+# (DuckDB 1.0 hashes VARCHAR, so multi-stage digest chains over raw digest
+# bytes are inexpressible; chained configs are covered by kernel goldens).
+# ---------------------------------------------------------------------------
+
+_SQL_HEX_BYTES = (
+    "[(strpos('0123456789abcdef', hx[2*p+1]) - 1) * 16"
+    " + strpos('0123456789abcdef', hx[2*p+2]) - 1 FOR p IN range(0, 16)]"
+)
+_SQL_LE_INT32 = (
+    "[CASE WHEN v >= 2147483648 THEN v - 4294967296 ELSE v END"
+    " FOR v IN [b[1] + 256*b[2] + 65536*b[3] + 16777216*b[4],"
+    "           b[5] + 256*b[6] + 65536*b[7] + 16777216*b[8],"
+    "           b[9] + 256*b[10] + 65536*b[11] + 16777216*b[12],"
+    "           b[13] + 256*b[14] + 65536*b[15] + 16777216*b[16]]]"
+)
+
+
+def _sql_grams(col: str, q: int) -> str:
+    """Distinct padded q-grams (reference common.py:9-28 tokenize)."""
+    pad = "'" + "_" * (q - 1) + "'"
+    return (
+        f"list_distinct([({pad} || {col} || {pad})[CAST(i AS INT):CAST(i+{q-1} AS INT)]"
+        f" FOR i IN range(1, length({col}) + {q})])"
+    )
+
+
+def _sql_clk_pos_cte(toks_sql: str, m: int) -> str:
+    """CTEs: toks(id, token, k) → pos(id, bit) distinct set-bit positions."""
+    return f"""
+, toks AS ({toks_sql})
+, ints AS (
+  SELECT id, k, {_SQL_LE_INT32} AS iv FROM (
+    SELECT id, k, {_SQL_HEX_BYTES} AS b FROM (SELECT id, k, sha256(token) AS hx FROM toks)
+  )
+), pos AS (
+  SELECT DISTINCT id, CASE WHEN raw < 0 THEN (-raw - 1) % {m} ELSE raw % {m} END AS bit
+  FROM (
+    SELECT id, unnest([xor(iv[1], iv[2]) + i * xor(iv[3], iv[4]) FOR i IN range(1, k + 1)]) AS raw
+    FROM ints
+  )
+)"""
+
+
+def _sql_clk_b64(toks_sql: str, m: int) -> str:
+    """Full mask oracle: (id, value=base64 of the packed m-bit vector)."""
+    n_bytes = (m + 7) // 8
+    return f"""
+WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents)
+{_sql_clk_pos_cte(toks_sql, m)}
+, bytes AS (
+  SELECT d.id, g.bytepos,
+         coalesce(sum(1 << CAST(7 - (p.bit % 8) AS INT)), 0) AS byteval
+  FROM docs d
+  CROSS JOIN (SELECT unnest(range(0, {n_bytes})) AS bytepos) g
+  LEFT JOIN pos p ON p.id = d.id AND p.bit // 8 = g.bytepos
+  GROUP BY d.id, g.bytepos
+)
+SELECT id, to_base64(unhex(string_agg(printf('%02x', CAST(byteval AS INT)), '' ORDER BY bytepos))) AS value
+FROM bytes GROUP BY id
+"""
+
+
+def _sql_mask_documents() -> str:
+    toks = (
+        "SELECT CAST(doc_id AS VARCHAR) AS id, "
+        f"unnest({_sql_grams('text', 2)}) AS token, 5 AS k FROM documents"
+    )
+    return _sql_clk_b64(toks, 1024)
+
+
+def _sql_mask_clkrbf() -> str:
+    # k per attribute = ceil(base_k * w / min_w) (routers/mask.py:247-264):
+    # text w=4 → k=12, lang w=1 → k=3; m = optimal_size(0.5, 12*40+3*3) = 706.
+    # prepend_attribute_name=True → token = attr_name || gram (mask.py:228-229).
+    toks = (
+        "SELECT CAST(doc_id AS VARCHAR) AS id, "
+        f"'text' || unnest({_sql_grams('text', 2)}) AS token, 12 AS k FROM documents"
+        " UNION ALL SELECT CAST(doc_id AS VARCHAR) AS id, "
+        f"'lang' || unnest({_sql_grams('lang', 2)}) AS token, 3 AS k FROM documents"
+    )
+    return _sql_clk_b64(toks, 706)
+
+
+def _sql_flagship_sets_cte(where: str = "") -> str:
+    """docs → sets(id, bits, n) for the flagship mask (q=4, m=1024, k=3)."""
+    toks = (
+        f"SELECT CAST(doc_id AS VARCHAR) AS id, "
+        f"unnest({_sql_grams('text', 4)}) AS token, 3 AS k FROM documents {where}"
+    )
+    return f"""
+WITH __docs AS (SELECT 1)
+{_sql_clk_pos_cte(toks, 1024)}
+, sets AS (
+  SELECT id, list(bit) AS bits, count(*) AS n FROM pos GROUP BY id
+)"""
+
+
+def _sql_match_lsh() -> str:
+    """Flagship oracle: chunked Hamming-LSH banding (64×16 over 1024 bits),
+    bucket cap 400, Dice ≥ 0.85 — mirrors spark/match.py:match_lsh +
+    spark/lsh.py chunked scheme.  Band signature = integer value of the
+    band's 16 bits (identical to the engine's conv(hex(substring)) value)."""
+    return _sql_flagship_sets_cte() + """
+, banded AS (
+  SELECT s.id, g.band,
+         coalesce(sum(1 << CAST(15 - (p.bit % 16) AS INT)), 0) AS sig
+  FROM (SELECT id FROM sets) s
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS band) g
+  LEFT JOIN pos p ON p.id = s.id AND p.bit // 16 = g.band
+  GROUP BY s.id, g.band
+), capped AS (
+  SELECT band, sig FROM banded GROUP BY band, sig HAVING count(*) <= 400
+), cands AS (
+  SELECT DISTINCT a.id AS domain_id, b.id AS range_id
+  FROM banded a
+  JOIN capped c ON c.band = a.band AND c.sig = a.sig
+  JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+)
+SELECT domain_id, range_id, round(sim, 6) AS similarity FROM (
+  SELECT c.domain_id, c.range_id,
+         2.0 * length(list_intersect(sa.bits, sb.bits)) / (sa.n + sb.n) AS sim
+  FROM cands c
+  JOIN sets sa ON sa.id = c.domain_id
+  JOIN sets sb ON sb.id = c.range_id
+) WHERE sim >= 0.85
+"""
+
+
+def _sql_langid() -> str:
+    """Mirror of textstats.lang_id_col: per-language stopword occurrence
+    counts over lowercased whitespace words, argmax-first, 'und' on zero
+    evidence."""
+    from pprl_spark.spark.textstats import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    score_exprs = ",\n         ".join(
+        "CAST(length(list_filter(words, x -> list_contains(["
+        + ", ".join("'" + w.replace("'", "''") + "'" for w in _STOPWORDS[lang])
+        + "], x))) AS BIGINT)"
+        for lang in langs
+    )
+    lang_list = "[" + ", ".join(f"'{lang}'" for lang in langs) + "]"
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         [{score_exprs}] AS scores
+  FROM w
+)
+SELECT doc_id,
+       CASE WHEN coalesce(list_aggregate(scores, 'max'), 0) <= 0 THEN 'und'
+            ELSE {lang_list}[CAST(list_position(scores, list_aggregate(scores, 'max')) AS INT)]
+       END AS lang_pred
+FROM s
+"""
+
+
+def _sql_simhash_pairs() -> str:
+    """Mirror of dedup.simhash_fingerprints/simhash_pairs: md5-derived
+    64-bit majority-vote fingerprints (bit j = nibble j//4, in-nibble
+    position 3-(j%4)), 8×8-bit chunk banding, Hamming ≤ 6."""
+    sums = ",\n         ".join(
+        f"sum((nb[{j // 4 + 1}] >> {3 - (j % 4)}) & 1) AS s{j}" for j in range(64)
+    )
+
+    def bit(j):
+        return f"(CASE WHEN 2*s{j} >= cnt THEN 1 ELSE 0 END)"
+
+    def packed(js):
+        return " + ".join(f"{bit(j)} * {1 << (len(js) - 1 - i)}" for i, j in enumerate(js))
+
+    hi = packed(list(range(0, 32)))
+    lo = packed(list(range(32, 64)))
+    keys = ", ".join(packed(list(range(c * 8, (c + 1) * 8))) for c in range(8))
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_distinct([text[CAST(i AS INT):CAST(i+2 AS INT)]
+                               FOR i IN range(1, greatest(length(text) - 2, 1) + 1)])) AS t
+  FROM documents
+), n AS (
+  SELECT doc_id, [strpos('0123456789abcdef', hx[p+1]) - 1 FOR p IN range(0, 16)] AS nb
+  FROM (SELECT doc_id, md5(t) AS hx FROM g)
+), v AS (
+  SELECT doc_id, count(*) AS cnt,
+         {sums}
+  FROM n GROUP BY doc_id
+), f AS (
+  SELECT doc_id, {hi} AS hi, {lo} AS lo, [{keys}] AS keys FROM v
+), b AS (
+  SELECT doc_id, hi, lo, u.i AS chunk, keys[CAST(u.i + 1 AS INT)] AS key
+  FROM f CROSS JOIN (SELECT unnest(range(0, 8)) AS i) u
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) AS hamming
+  FROM b a JOIN b b2 ON a.chunk = b2.chunk AND a.key = b2.key AND a.doc_id < b2.doc_id
+) WHERE hamming <= 6
+"""
+
+
+def _sql_multimodal() -> str:
+    """Mirror of multimodal.decode_image_features stub: payload =
+    utf-8(text), so sha256(text) in DuckDB hashes the same bytes; width/
+    height are digest bytes 0/1 folded into [64, 256)."""
+    b0 = "(strpos('0123456789abcdef', hx[1]) - 1) * 16 + strpos('0123456789abcdef', hx[2]) - 1"
+    b1 = "(strpos('0123456789abcdef', hx[3]) - 1) * 16 + strpos('0123456789abcdef', hx[4]) - 1"
+    return f"""
+SELECT doc_id,
+       CAST(64 + ({b0}) % 192 AS INT) AS width,
+       CAST(64 + ({b1}) % 192 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       hx AS sha256
+FROM (SELECT doc_id, sha256(text) AS hx FROM documents)
+"""
+
+
+def _sql_match_crosswise() -> str:
+    """Crosswise Jaccard ≥ 0.55 over the doc_id<200 sample (reference
+    routers/match.py:54-67 semantics, unordered pairs once)."""
+    return _sql_flagship_sets_cte("WHERE doc_id < 200") + """
+SELECT domain_id, range_id, round(sim, 6) AS similarity FROM (
+  SELECT a.id AS domain_id, b.id AS range_id,
+         CAST(length(list_intersect(a.bits, b.bits)) AS DOUBLE)
+           / (a.n + b.n - length(list_intersect(a.bits, b.bits))) AS sim
+  FROM sets a JOIN sets b ON a.id < b.id
+) WHERE sim >= 0.55
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # bit-exact PPRL stages (see _sql_clk_* helpers above)
+        "pprl_mask_documents": _sql_mask_documents(),
+        "pprl_mask_clkrbf": _sql_mask_clkrbf(),
+        "pprl_match_lsh": _sql_match_lsh(),
+        "pprl_match_crosswise_sample": _sql_match_crosswise(),
+        # md5-derived / expression-level ops
+        "simhash_dup_pairs": _sql_simhash_pairs(),
+        "langid_documents": _sql_langid(),
+        "multimodal_decode": _sql_multimodal(),
+        # assertion-shaped sketch rows: exact answer oracle-checked in SQL,
+        # the boolean asserts the estimate met its published bound
+        "hll_distinct_users": """
+            SELECT count(DISTINCT user_id) AS exact_distinct, true AS within_3sigma
+            FROM events
+        """,
+        "hll_distinct_texts_by_lang": """
+            SELECT lang, count(DISTINCT text) AS exact_distinct, true AS within_3sigma
+            FROM documents GROUP BY lang
+        """,
+        "cms_event_type_counts": """
+            SELECT event_type, count(*) AS exact_count, true AS within_bound
+            FROM events GROUP BY event_type
+        """,
+        "kll_value_quantiles": """
+            SELECT CAST(0.1 AS DOUBLE) AS q, true AS rank_ok
+            UNION ALL SELECT CAST(0.5 AS DOUBLE), true
+            UNION ALL SELECT CAST(0.9 AS DOUBLE), true
+        """,
+        "tdigest_value_quantiles": """
+            SELECT CAST(0.01 AS DOUBLE) AS q, true AS rank_ok
+            UNION ALL SELECT CAST(0.5 AS DOUBLE), true
+            UNION ALL SELECT CAST(0.99 AS DOUBLE), true
+        """,
+        "bloom_customer_membership": """
+            SELECT count(*) AS total_probes, true AS all_members_hit, true AS fp_ok
+            FROM orders
+        """,
         "transform_datetime": """
             SELECT o_orderkey, strftime(o_orderdate, '%d.%m.%Y') AS odate
             FROM orders
@@ -740,18 +1106,26 @@ def oracle_sql() -> dict[str, str]:
                                                    w -> w <> ''), ' ')) AS fingerprint
             FROM documents
         """,
+        # cosine mirrors the engine's float path bit-for-bit: float32
+        # products (FLOAT*FLOAT stays FLOAT in both engines) accumulated
+        # into a DOUBLE, division/sqrt in DOUBLE — same as Spark's
+        # aggregate(zip_with(x*y), 0.0d) over array<float>
         "embedding_topk": """
             WITH scored AS (
               SELECT q.vec_id AS query_id, i.vec_id AS vec_id,
-                     round(list_cosine_similarity(i.embedding, q.embedding), 4) AS cosine,
-                     row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(i.embedding, q.embedding) DESC,
-                                i.vec_id
-                     ) AS rank
+                     list_sum([CAST(i.embedding[CAST(j AS INT)] * q.embedding[CAST(j AS INT)] AS DOUBLE)
+                               FOR j IN range(1, len(i.embedding) + 1)])
+                     / sqrt(list_sum([CAST(x * x AS DOUBLE) FOR x IN i.embedding])
+                            * list_sum([CAST(x * x AS DOUBLE) FOR x IN q.embedding])) AS cos,
+                     i.vec_id AS iid
               FROM embeddings i, embeddings q
               WHERE q.vec_id < 5
+            ), ranked AS (
+              SELECT query_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, iid) AS rank
+              FROM scored
             )
-            SELECT query_id, vec_id, cosine, rank FROM scored WHERE rank <= 3
+            SELECT query_id, vec_id, round(cos, 4) AS cosine, rank
+            FROM ranked WHERE rank <= 3
         """,
     }

@@ -75,10 +75,17 @@ def run_headline() -> dict:
         "kll_value_quantiles",
         "tdigest_value_quantiles",
     ]
+    # interleaved best-of-2: run the whole list twice and keep the min per
+    # query — the documented de-noising protocol for this VM's ~30%
+    # run-to-run hypervisor noise (BENCH.md), making round-over-round
+    # deltas meaningful
     timings: dict[str, float] = {}
-    for name in headline:
-        fn = q[name]
-        timings[name] = _timed(lambda: fn(spark, SF_DIR).collect())
+    for _pass in range(2):
+        for name in headline:
+            fn = q[name]
+            t = _timed(lambda: fn(spark, SF_DIR).collect())
+            if name not in timings or t < timings[name]:
+                timings[name] = t
 
     # north-star throughput anchor: pages encoded + sketched per second
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()

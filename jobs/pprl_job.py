@@ -45,12 +45,12 @@ def build_stages(pages_path: str, docs_mode: bool, encode_chunks: int):
 
     mask_cfg = MaskConfig(
         filter=CLKFilter(1024, 3),
-        hash=HashConfig(HashFunctionConfig(("sha256", "md5")), "double_hash"),
+        hash=HashConfig(HashFunctionConfig(("sha256",)), "double_hash"),
         token_size=4,
         padding="_",
         prepend_attribute_name=False,
     )
-    lsh_cfg = LSHConfig(num_bits=1024, num_bands=64, band_width=16, seed=727)
+    lsh_cfg = LSHConfig(num_bits=1024, num_bands=64, band_width=16, seed=727, scheme="chunked")
     match_cfg = MatchConfig("dice", 0.85)
     transform_cfg = TransformConfig(
         attribute_transformers=(

@@ -35,19 +35,33 @@ def _counts(a: np.ndarray, b: np.ndarray):
     return n1.astype(np.float64), n2.astype(np.float64), n12.astype(np.float64)
 
 
+# Degenerate pairs (both vectors all-zero, reachable e.g. after a
+# randomized_response hardener unsets every bit) are DEFINED as 0.0 here.
+# Documented deviation: the reference raises ZeroDivisionError for the same
+# input (similarity.py:35-80 divides unguarded); a distributed matcher must
+# not fail a 10^12-pair stage on one empty vector, and 0.0 (“no similarity
+# evidence”) keeps thresholds monotone.  See SURVEY.md §2.6.
+
+
+def _guarded_div(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(num, dtype=np.float64)
+    np.divide(num, den, out=out, where=den != 0)
+    return out
+
+
 def _dice(a, b):
     n1, n2, n12 = _counts(a, b)
-    return 2.0 * n12 / (n1 + n2)
+    return _guarded_div(2.0 * n12, n1 + n2)
 
 
 def _cosine(a, b):
     n1, n2, n12 = _counts(a, b)
-    return n12 / np.sqrt(n1 * n2)
+    return _guarded_div(n12, np.sqrt(n1 * n2))
 
 
 def _jaccard(a, b):
     n1, n2, n12 = _counts(a, b)
-    return n12 / (n1 + n2 - n12)
+    return _guarded_div(n12, n1 + n2 - n12)
 
 
 MEASURES = {"dice": _dice, "cosine": _cosine, "jaccard": _jaccard}

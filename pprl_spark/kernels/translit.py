@@ -51,6 +51,43 @@ _SPECIALS = {
 }
 
 
+# Script-level romanization for major non-Latin scripts (ADVICE r1: web
+# text in Cyrillic/Greek must transliterate, not silently erase — an
+# all-Cyrillic value would otherwise normalize to the empty string and
+# trip the encoder's empty-token guard).  Standard GOST/ISO-adjacent
+# romanizations, matching unidecode's published tables for the common
+# codepoints; multi-char outputs (Zh, Shch, th, ps, …) follow unidecode's
+# casing convention.  Accented Greek decomposes via NFKD first and then
+# hits these base letters.
+_CYRILLIC = {
+    "А": "A", "Б": "B", "В": "V", "Г": "G", "Д": "D", "Е": "E", "Ё": "Io",
+    "Ж": "Zh", "З": "Z", "И": "I", "Й": "I", "К": "K", "Л": "L", "М": "M",
+    "Н": "N", "О": "O", "П": "P", "Р": "R", "С": "S", "Т": "T", "У": "U",
+    "Ф": "F", "Х": "Kh", "Ц": "Ts", "Ч": "Ch", "Ш": "Sh", "Щ": "Shch",
+    "Ъ": "'", "Ы": "Y", "Ь": "'", "Э": "E", "Ю": "Iu", "Я": "Ia",
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e", "ё": "io",
+    "ж": "zh", "з": "z", "и": "i", "й": "i", "к": "k", "л": "l", "м": "m",
+    "н": "n", "о": "o", "п": "p", "р": "r", "с": "s", "т": "t", "у": "u",
+    "ф": "f", "х": "kh", "ц": "ts", "ч": "ch", "ш": "sh", "щ": "shch",
+    "ъ": "'", "ы": "y", "ь": "'", "э": "e", "ю": "iu", "я": "ia",
+    # Ukrainian / Belarusian extensions
+    "Є": "Ie", "є": "ie", "І": "I", "і": "i", "Ї": "Yi", "ї": "yi",
+    "Ґ": "G", "ґ": "g", "Ў": "U", "ў": "u",
+}
+_GREEK = {
+    "Α": "A", "Β": "B", "Γ": "G", "Δ": "D", "Ε": "E", "Ζ": "Z", "Η": "E",
+    "Θ": "Th", "Ι": "I", "Κ": "K", "Λ": "L", "Μ": "M", "Ν": "N", "Ξ": "X",
+    "Ο": "O", "Π": "P", "Ρ": "R", "Σ": "S", "Τ": "T", "Υ": "U", "Φ": "Ph",
+    "Χ": "Kh", "Ψ": "Ps", "Ω": "O",
+    "α": "a", "β": "b", "γ": "g", "δ": "d", "ε": "e", "ζ": "z", "η": "e",
+    "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m", "ν": "n", "ξ": "x",
+    "ο": "o", "π": "p", "ρ": "r", "σ": "s", "ς": "s", "τ": "t", "υ": "u",
+    "φ": "ph", "χ": "kh", "ψ": "ps", "ω": "o",
+}
+_SPECIALS.update(_CYRILLIC)
+_SPECIALS.update(_GREEK)
+
+
 def _translit_char(ch: str) -> str:
     if ch.isascii():
         return ch

@@ -9,9 +9,11 @@ the semantics allow:
   join is pure Catalyst expressions (no Python in the hot path).
 * **n-gram Jaccard** — exact verify step for candidate pairs (JVM set ops
   ``array_intersect`` / ``array_union``).
-* **SimHash** — 64-bit sign-aggregated fingerprint (vectorized pandas UDF:
-  per-batch numpy bit unpacking), banded into 4×16-bit chunks for
-  Hamming-≤-k candidate joins.
+* **SimHash** — 64-bit sign-aggregated fingerprint computed entirely
+  JVM-side: explode grams → ``md5`` → per-nibble bit votes as 64 map-side-
+  combined ``sum`` aggregations → majority bits, banded into 8×8-bit
+  chunks for Hamming-≤-k candidate joins.  md5-derived bits make the whole
+  operator DuckDB-oracle-expressible; no Python anywhere.
 * **embedding cosine** — near-duplicate pairs over an embedding column via
   random-hyperplane LSH buckets + exact cosine verify (see also ann.py).
 
@@ -37,7 +39,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard",
     "jaccard_verify",
-    "simhash_udf",
+    "simhash_fingerprints",
     "simhash_pairs",
     "embedding_cosine_pairs",
 ]
@@ -67,14 +69,20 @@ def word_tokens(col: Column | str) -> Column:
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Keep one representative (min id) per exact content value.
-    Shuffle keys on a 64-bit content hash, not the full text, so wide rows
-    don't inflate the exchange; the full content never leaves the map side."""
-    h = F.xxhash64(F.col(content_col))
+    Shuffle keys on a 128-bit content hash (two independently-seeded
+    xxhash64 lanes), not the full text, so wide rows don't inflate the
+    exchange; the full content never leaves the map side.  128 bits keeps
+    the birthday collision bound negligible at the 10^12-row target
+    (n²/2^129 ≈ 10^-15), where a single 64-bit key would already expect
+    ~10^4 false merges."""
+    h1 = F.xxhash64(F.col(content_col))
+    h2 = F.xxhash64(F.lit(0x9E3779B9), F.col(content_col))
     return (
-        df.withColumn("__h", h)
-        .groupBy("__h")
+        df.withColumn("__h1", h1)
+        .withColumn("__h2", h2)
+        .groupBy("__h1", "__h2")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
-        .drop("__h")
+        .drop("__h1", "__h2")
     )
 
 
@@ -186,38 +194,70 @@ def jaccard_verify(
 
 # ---------------------------------------------------------------- simhash
 
-def simhash_udf(q: int = 3):
-    """pandas UDF: text → 64-bit SimHash.
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    q: int = 3,
+    chunks: int = 8,
+) -> DataFrame:
+    """64-bit SimHash per record, computed entirely JVM-side.
 
-    Per Arrow batch: q-gram shingles hashed with blake2b-derived 64-bit
-    values; each hash votes +1/−1 on its 64 bit positions; the sign of the
-    per-position sum is the fingerprint bit.  numpy-vectorized per row
-    over the token axis."""
-    import hashlib
+    Bit ``j`` of the fingerprint is the majority vote (ties → 1) of bit
+    ``j`` of ``md5(gram)`` over the record's distinct q-grams, where bit j
+    lives in hex nibble ``j//4`` at in-nibble position ``3-(j%4)``
+    (MSB-first over the digest's hex string).  The plan is: explode grams
+    → ``md5`` → 16 nibble ints via ``conv`` → 64 map-side-combined ``sum``
+    aggregations keyed on the id — one shuffle of (id, 64 small ints),
+    independent of document length.  md5-derived bits keep the operator
+    DuckDB-expressible (the driver oracle mirrors this arithmetic).
 
-    @F.pandas_udf(LongType())
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for row, text in enumerate(texts):
-            if not text:
-                continue
-            grams = {text[i : i + q] for i in range(max(len(text) - q + 1, 1))}
-            hashes = np.array(
-                [
-                    int.from_bytes(
-                        hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
-                    )
-                    for g in grams
-                ],
-                dtype=np.uint64,
-            )
-            bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-            votes = bits.astype(np.int32).sum(axis=0) * 2 - len(hashes)
-            fingerprint = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
-            out[row] = int.from_bytes(fingerprint.tobytes(), "little", signed=True)
-        return pd.Series(out)
+    Output: ``(__id, hi, lo, keys array<long>)`` — hi/lo are the two
+    32-bit halves (Hamming distance = bit_count(hi⊕hi')+bit_count(lo⊕lo'))
+    and ``keys`` the ``chunks`` equal-width band keys for candidate joins.
+    """
+    if 64 % chunks:
+        raise ValueError("chunks must divide 64")
+    width = 64 // chunks
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(qgram_tokens(F.col(text_col), q)).alias("__t"),
+    )
+    nibs = grams.select(
+        "__id",
+        *[
+            F.conv(F.substring(F.md5("__t"), n + 1, 1), 16, 10).cast("int").alias(f"n{n}")
+            for n in range(16)
+        ],
+    )
+    votes = nibs.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        *[
+            F.sum(
+                F.shiftright(F.col(f"n{j // 4}"), 3 - (j % 4)).bitwiseAND(F.lit(1))
+            ).alias(f"s{j}")
+            for j in range(64)
+        ],
+    )
 
-    return _simhash
+    def bit(j):
+        return F.when(F.col(f"s{j}") * 2 >= F.col("__cnt"), F.lit(1)).otherwise(F.lit(0))
+
+    def packed(js):
+        """Big-endian fold of bits js into a long."""
+        out = F.lit(0).cast("long")
+        for i, j in enumerate(js):
+            out = out + bit(j).cast("long") * F.lit(1 << (len(js) - 1 - i)).cast("long")
+        return out
+
+    return votes.select(
+        "__id",
+        packed(list(range(0, 32))).alias("hi"),
+        packed(list(range(32, 64))).alias("lo"),
+        F.array(
+            *[packed(list(range(c * width, (c + 1) * width))) for c in range(chunks)]
+        ).alias("keys"),
+    )
 
 
 def simhash_pairs(
@@ -225,39 +265,34 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     q: int = 3,
-    chunks: int = 4,
+    chunks: int = 8,
 ) -> DataFrame:
     """Candidate pairs whose SimHash agrees on ≥1 of ``chunks`` equal-width
-    chunks (pigeonhole: Hamming distance < chunks ⇒ some chunk equal)."""
-    width = 64 // chunks
-    sh = df.select(
-        F.col(id_col).alias("__id"), simhash_udf(q)(F.col(text_col)).alias("__sh")
-    )
-    chunk_cols = F.array(
-        *[
-            F.shiftrightunsigned(F.col("__sh"), i * width).bitwiseAND(
-                F.lit((1 << width) - 1)
-            )
-            for i in range(chunks)
-        ]
-    )
-    banded = sh.select("__id", "__sh", F.posexplode(chunk_cols).alias("chunk", "key"))
+    chunks (pigeonhole: Hamming distance < chunks ⇒ some chunk equal —
+    with the default 8 chunks, recall is guaranteed up to Hamming 7;
+    downstream filters at ≤6 are therefore exact, ADVICE r1)."""
+    fp = simhash_fingerprints(df, id_col, text_col, q=q, chunks=chunks)
+    banded = fp.select("__id", "hi", "lo", F.posexplode("keys").alias("chunk", "key"))
     left = banded.select(
-        F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"), "chunk", "key"
+        F.col("__id").alias("id_a"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"),
+        "chunk", "key",
     )
     right = banded.select(
-        F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"), "chunk", "key"
+        F.col("__id").alias("id_b"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"),
+        "chunk", "key",
     )
     pairs = (
         left.join(right, on=["chunk", "key"], how="inner")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact Hamming distance via bit_count(xor)
     return pairs.select(
         "id_a",
         "id_b",
-        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        (
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        ).alias("hamming"),
     )
 
 
@@ -291,14 +326,19 @@ def embedding_cosine_pairs(
         weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
         return pd.Series(signs.astype(np.int64) @ weights)
 
-    bucketed = df.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), _bucket(F.col(vec_col)).alias("bucket")
-    )
-    left = bucketed.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"), "bucket")
-    right = bucketed.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"), "bucket")
+    # slim-pair plan (same shape as match_lsh): the bucket join and pair
+    # dedup shuffle only (id, bucket) / (id_a, id_b) rows; the vectors ride
+    # the two final id-keyed joins instead of the candidate explosion
+    vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    bucketed = vecs.select("__id", _bucket(F.col("__v")).alias("bucket"))
+    left = bucketed.select(F.col("__id").alias("id_a"), "bucket")
+    right = bucketed.select(F.col("__id").alias("id_b"), "bucket")
     pairs = (
         left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .join(vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a")), "id_a")
+        .join(vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b")), "id_b")
     )
     dot = F.aggregate(
         F.zip_with("v_a", "v_b", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x

@@ -81,11 +81,11 @@ def mask_with_bands(
     import numpy as np
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    from .lsh import band_positions
+    from .lsh import band_positions, band_weights
 
     cols = _needed_columns(cfg, attributes)
     positions = band_positions(lsh_cfg)
-    weights = np.int64(1) << np.arange(lsh_cfg.band_width, dtype=np.int64)
+    weights = band_weights(lsh_cfg)
     num_bits = lsh_cfg.num_bits
     n_bytes = (num_bits + 7) // 8
     encoder_holder: list[BloomEncoder] = []
@@ -132,7 +132,9 @@ def mask_b64(
     """Like :func:`mask` but with the reference's base64 wire encoding —
     the CSV mask sink shape (cli.py:60-93: columns ``id, value``)."""
     masked = mask(df, cfg, attributes, id_col=id_col, output_col="__bloom__")
+    # Spark's base64 emits MIME line wraps (\r\n every 76 chars) on long
+    # inputs; the reference wire format (bits.py:148-158) is unchunked.
     return masked.select(
         F.col(id_col),
-        F.base64(F.col("__bloom__")).alias(output_col),
+        F.translate(F.base64(F.col("__bloom__")), "\r\n", "").alias(output_col),
     )

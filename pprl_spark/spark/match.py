@@ -32,6 +32,7 @@ __all__ = [
     "match_pairwise",
     "match_crosswise",
     "match_lsh",
+    "match_files",
     "top_k_per_record",
 ]
 
@@ -181,6 +182,53 @@ def match_lsh(
         .join(rng_vec, "range_id")
     )
     return _score_and_filter(pairs, cfg)
+
+
+def match_files(
+    files: "dict[str, DataFrame]",
+    cfg: MatchConfig,
+    lsh: "LSHConfig | None" = None,
+    id_col: str = "id",
+    bloom_col: str = "bloom",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Multi-file matching: every unordered file pair (i<j) is matched
+    crosswise, and the output carries which file each side came from —
+    the reference CLI's multi-file orchestration
+    (packages/pprl_client/pprl_client/cli.py:209-245: ``for (file1, file2)
+    in itertools.combinations(files, 2)`` with batched crosswise
+    products).  Here each pair is one distributed match: crosswise when
+    ``lsh`` is None (exact reference semantics), LSH-blocked otherwise
+    (the scale path; identical output above the blocking recall).
+
+    Output columns: ``domain_id, domain_file, range_id, range_file,
+    similarity`` — the reference's match-sink layout (cli.py:202-245).
+    """
+    names = sorted(files)
+    if len(names) < 2:
+        raise ValueError("multi-file matching requires at least two files")
+    out: DataFrame | None = None
+    for i, name_a in enumerate(names):
+        for name_b in names[i + 1:]:
+            if lsh is None:
+                part = match_crosswise(
+                    files[name_a], files[name_b], cfg, id_col=id_col, bloom_col=bloom_col
+                )
+            else:
+                part = match_lsh(
+                    files[name_a], files[name_b], cfg, lsh,
+                    id_col=id_col, bloom_col=bloom_col,
+                    max_bucket_size=max_bucket_size,
+                )
+            part = part.select(
+                "domain_id",
+                F.lit(name_a).alias("domain_file"),
+                "range_id",
+                F.lit(name_b).alias("range_file"),
+                "similarity",
+            )
+            out = part if out is None else out.unionByName(part)
+    return out
 
 
 def top_k_per_record(matches: DataFrame, k: int) -> DataFrame:

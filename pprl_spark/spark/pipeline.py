@@ -116,6 +116,17 @@ class Pipeline:
         (self._stage_dir(stage) / "metrics.json").write_text(json.dumps(metrics, indent=2))
         return metrics
 
+    def _read_stage_output(self, stage: Stage, data_dir: Path) -> DataFrame:
+        """Read a stage's checkpoint with a schema identical to the fresh
+        run: chunked stages drop the discovered ``chunk`` partition column
+        (otherwise a resumed run feeds downstream stages one extra column
+        and their recorded lineage/schemas diverge — ADVICE r1)."""
+        if stage.split_by and stage.num_chunks > 1:
+            return self.spark.read.option("basePath", str(data_dir)).parquet(
+                str(data_dir / "chunk=*")
+            ).drop("chunk")
+        return self.spark.read.parquet(str(data_dir))
+
     def _run_stage(self, stage: Stage, resolved: dict[str, DataFrame],
                    upstream_fp: dict[str, str]) -> DataFrame:
         lineage = self._lineage_of(stage, upstream_fp)
@@ -123,7 +134,7 @@ class Pipeline:
         data_dir = self._data_dir(stage)
 
         if self._is_complete(stage, lineage):
-            return self.spark.read.parquet(str(data_dir))
+            return self._read_stage_output(stage, data_dir)
 
         stage_dir.mkdir(parents=True, exist_ok=True)
         inputs = {name: resolved[name] for name in stage.inputs}
@@ -154,14 +165,12 @@ class Pipeline:
                     str(self._data_dir(stage, chunk))
                 )
                 chunks_run += 1
-            result = self.spark.read.option("basePath", str(data_dir)).parquet(
-                str(data_dir / "chunk=*")
-            ).drop("chunk")
+            result = self._read_stage_output(stage, data_dir)
         else:
             out = stage.fn(self.spark, inputs)
             out.write.mode("overwrite").parquet(str(data_dir))
             chunks_run = 1
-            result = self.spark.read.parquet(str(data_dir))
+            result = self._read_stage_output(stage, data_dir)
 
         metrics = self._write_metrics(stage, result, time.monotonic() - start,
                                       chunks_run, chunks_skipped)

@@ -28,6 +28,7 @@ __all__ = [
     "average_token_count",
     "ngram_entropy",
     "compute_attribute_stats",
+    "estimate_weights",
 ]
 
 
@@ -95,3 +96,48 @@ def compute_attribute_stats(
         ent = ngram_entropy(df, attr, q, padding)
         out.append(WeightedAttributeConfig(attr, weight=ent, average_token_count=avg))
     return out
+
+
+def estimate_weights(
+    spark,
+    generators: "dict[str, object]",
+    n: int,
+    q: int = 2,
+    padding: str = "_",
+    transform_cfg=None,
+    partitions: int | None = None,
+) -> list[WeightedAttributeConfig]:
+    """Generator-driven weight estimation — the reference's ``estimate
+    gecko/faker`` commands (pprl_client cli.py:428-563): synthesize ``n``
+    records from per-attribute generators, optionally run the transform
+    chain over them, then estimate (weight=entropy, avg_token_count) per
+    attribute for RBF/CLKRBF configs.
+
+    ``generators`` maps attribute name → a deterministic pure function
+    ``int -> str`` of the global row index, so generation distributes over
+    ``spark.range(n)`` with no driver-side materialization and is
+    partition-invariant (same property as fixtures.make_pages; replaces
+    the reference's seeded Faker/Gecko single-process generators)."""
+    from typing import Iterator
+
+    names = list(generators)
+    gens = dict(generators)
+    schema = ", ".join(f"{name} string" for name in names)
+
+    def _gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {name: [gens[name](int(i)) for i in pdf["id"]] for name in names}
+            )
+
+    base = spark.range(n)
+    if partitions:
+        base = base.repartition(partitions)
+    df = base.mapInPandas(_gen, schema=schema)
+    if transform_cfg is not None:
+        from .transform import transform
+
+        df = transform(df, transform_cfg, names)
+    return compute_attribute_stats(df, names, q, padding)

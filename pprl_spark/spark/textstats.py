@@ -1,18 +1,15 @@
 """Text-analysis operators for training-data pipelines.
 
-Everything except language-ID is pure Catalyst column expressions (JVM,
-codegen, DuckDB-oracle-expressible): token counting, quality scoring,
-fingerprinting.  Language-ID is an n-gram/stopword heuristic over a
-broadcast profile table — a vectorized pandas UDF.
+Everything — token counting, quality scoring, fingerprinting, and the
+stopword-profile language-ID — is pure Catalyst column expressions (JVM,
+whole-stage-friendly, DuckDB-oracle-expressible).  No Python workers in
+any of these paths.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
 
 __all__ = [
     "whitespace_token_count",
@@ -22,7 +19,7 @@ __all__ = [
     "quality_score",
     "content_fingerprint",
     "rolling_fingerprints",
-    "lang_id_udf",
+    "lang_id_col",
     "with_text_stats",
 ]
 
@@ -106,38 +103,28 @@ def rolling_fingerprints(col: Column | str, window: int = 4) -> Column:
     )
 
 
-def lang_id_udf():
-    """Heuristic language-ID: score each language's stopword profile over
-    the lowercased word set; ties and zero evidence → 'und'.  Vectorized
-    per Arrow batch with a numpy membership matrix."""
+def lang_id_col(col: Column | str) -> Column:
+    """Heuristic language-ID as a pure Catalyst expression (no Python
+    worker, DuckDB-oracle-expressible): per language, count the occurrences
+    of its stopwords among the lowercased whitespace words; predict the
+    first (alphabetically) language with the maximal score, 'und' on zero
+    evidence or empty/null text.  Semantics match the former vectorized-UDF
+    implementation (counts × membership profile, argmax-first)."""
+    col = _as_col(col)
     langs = sorted(_STOPWORDS)
-    vocab: dict[str, int] = {}
-    for lang in langs:
-        for w in _STOPWORDS[lang]:
-            vocab.setdefault(w, len(vocab))
-    profile = np.zeros((len(vocab), len(langs)), dtype=np.float64)
-    for j, lang in enumerate(langs):
-        for w in _STOPWORDS[lang]:
-            profile[vocab[w], j] += 1.0
+    words = F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+    def _hits(stopwords):
+        sw = F.array(*[F.lit(s) for s in stopwords])
+        return F.size(F.filter(words, lambda w: F.array_contains(sw, w))).cast("long")
 
-    @F.pandas_udf(StringType())
-    def _lang(texts: pd.Series) -> pd.Series:
-        out = []
-        for text in texts:
-            if not text:
-                out.append("und")
-                continue
-            counts = np.zeros(len(vocab))
-            for w in text.lower().split():
-                idx = vocab.get(w)
-                if idx is not None:
-                    counts[idx] += 1
-            scores = counts @ profile
-            best = int(scores.argmax())
-            out.append(langs[best] if scores[best] > 0 else "und")
-        return pd.Series(out)
-
-    return _lang
+    scores = F.array(*[_hits(_STOPWORDS[lang]) for lang in langs])
+    best = F.array_max(scores)
+    pick = F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]), F.array_position(scores, best).cast("int")
+    )
+    return F.when(
+        col.isNull() | (col == "") | (best <= 0), F.lit("und")
+    ).otherwise(pick)
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -151,5 +138,5 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         stopword_ratio(col).alias("stopword_ratio"),
         quality_score(col).alias("quality"),
         content_fingerprint(col).alias("fingerprint"),
-        lang_id_udf()(col).alias("lang_pred"),
+        lang_id_col(col).alias("lang_pred"),
     )

@@ -34,7 +34,7 @@ def test_flagship_lsh_recall_equals_crosswise_on_testdata(spark):
     )
     cfg = MaskConfig(
         filter=CLKFilter(1024, 3),
-        hash=HashConfig(HashFunctionConfig(("sha256", "md5")), "double_hash"),
+        hash=HashConfig(HashFunctionConfig(("sha256",)), "double_hash"),
         token_size=4,
         padding="_",
         prepend_attribute_name=False,

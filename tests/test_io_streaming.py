@@ -54,8 +54,13 @@ def test_bit_vector_csv_roundtrip(spark, tmp_path):
 def test_bit_vector_csv_invalid_base64(spark, tmp_path):
     (tmp_path / "bad").mkdir()
     (tmp_path / "bad" / "part.csv").write_text("id,value\nv1,=A=\n")
+    # default is lazy validation: the reference's error (with the offending
+    # id) fires inside the first downstream action, costing a clean read
+    # zero extra jobs; validate="eager" raises at read time
+    with pytest.raises(Exception, match="invalid Base64.*v1"):
+        read_bit_vector_csv(spark, str(tmp_path / "bad")).collect()
     with pytest.raises(ValueError, match="invalid Base64.*v1"):
-        read_bit_vector_csv(spark, str(tmp_path / "bad"))
+        read_bit_vector_csv(spark, str(tmp_path / "bad"), validate="eager")
 
 
 def test_match_csv_sink(spark, tmp_path):

@@ -70,7 +70,10 @@ def test_ngram_jaccard_exact_value(spark):
 
 
 def test_simhash_near_duplicates_have_small_hamming(spark, pages):
-    pairs = simhash_pairs(pages.limit(400), "url", "text", q=3, chunks=4)
+    # 8 chunks of 8 bits: pigeonhole-guaranteed recall for hamming <= 7,
+    # and the planted pair (hamming 8 under the md5 hash family) still
+    # collides in 3 of its 8 chunks
+    pairs = simhash_pairs(pages.limit(400), "url", "text", q=3, chunks=8)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     dup = (page_row(100)["url"], page_row(101)["url"])
     key = (min(dup), max(dup))

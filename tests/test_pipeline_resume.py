@@ -48,6 +48,17 @@ def test_run_then_resume_skips_everything(spark, tmp_path):
     assert {r["k"]: r["sv"] for r in out2["agg"].collect()} == result1
 
 
+def test_resumed_chunked_stage_schema_equals_fresh_run(spark, tmp_path):
+    """ADVICE r1: the resume path of a completed chunked stage must not
+    re-add the discovered ``chunk`` partition column — downstream stages
+    must see the identical schema on fresh and resumed runs."""
+    fresh = Pipeline(spark, tmp_path, _mk_stages()).run()
+    fresh_cols = fresh["doubled"].columns
+    resumed = Pipeline(spark, tmp_path, _mk_stages()).run()
+    assert resumed["doubled"].columns == fresh_cols
+    assert "chunk" not in resumed["doubled"].columns
+
+
 def test_chunk_level_mid_stage_resume(spark, tmp_path):
     import shutil
 

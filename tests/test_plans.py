@@ -77,6 +77,29 @@ def test_token_frequencies_has_partial_aggregation(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_langid_is_jvm_side(spark):
+    # VERDICT r1: language-ID must not run a Python worker
+    plan = _executed_plan(E.langid_documents(spark, SF))
+    assert "EvalPython" not in plan
+
+
+def test_simhash_is_jvm_side_with_partial_agg(spark):
+    # VERDICT r1: no per-gram Python hashing — md5 + vote sums are pure
+    # Catalyst, and the 64 vote sums must map-side combine (2x HashAggregate)
+    plan = _executed_plan(E.simhash_dup_pairs(spark, SF))
+    assert "EvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_flagship_banding_is_jvm_side(spark):
+    # chunked LSH banding is conv(hex(substring)) — the only Python UDFs
+    # in the flagship plan are the encode and similarity kernels; no
+    # band-signature UDF (_bands) may appear
+    plan = _executed_plan(E._flagship_matches(spark, SF))
+    assert "_bands" not in plan
+    assert "conv(hex(substring" in plan
+
+
 def test_minhash_signature_single_shuffle(spark):
     from pprl_spark.spark.dedup import minhash_lsh_pairs
 
