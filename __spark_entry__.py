@@ -459,11 +459,16 @@ def minhash_dedup_pairs(spark, sf_dir):
 def simhash_dup_pairs(spark, sf_dir):
     from pprl_spark.spark.dedup import simhash_pairs
 
-    docs = _load(spark, sf_dir, "documents")
+    # explicit re-split: the whole documents table is one parquet split at
+    # these scales, which would serialize the gram/md5 stage on one core —
+    # a small-input artifact (at production scale file count >> cores)
+    docs = _load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # 8 chunks of 8 bits: pigeonhole guarantees recall for hamming <= 7,
-    # so the <= 6 filter below is exact (ADVICE r1)
-    pairs = simhash_pairs(docs, "doc_id", "text", q=3, chunks=8)
-    return pairs.filter(F.col("hamming") <= 6)
+    # so the <= 6 threshold is exact (ADVICE r1); pushing it into
+    # simhash_pairs applies it before the pair dedup
+    return simhash_pairs(docs, "doc_id", "text", q=3, chunks=8, max_hamming=6)
 
 
 def langid_documents(spark, sf_dir):

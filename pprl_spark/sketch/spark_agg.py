@@ -36,15 +36,28 @@ __all__ = ["sketch_column", "sketch_grouped", "prepare_input"]
 def prepare_input(df: DataFrame, column: str, factory: Callable[[], Sketch]) -> DataFrame:
     """Project the sketch input column: xxhash64 for hash sketches, double
     cast for rank sketches.  Nulls are dropped (a null contributes nothing
-    to any of these sketches)."""
+    to any of these sketches).
+
+    If the input has fewer partitions than the cluster has slots (a small
+    parquet table lands in 1-4 scan splits), the projected 8-byte column
+    is repartitioned up to ``defaultParallelism`` — an 8 B/row shuffle is
+    ~free and unlocks full-width parallel partials.  At production scale
+    the scan has more splits than slots and no shuffle is added.  The
+    repartition happens AFTER the projection so only the hash/double
+    column moves, never the source table."""
     probe = factory()
     if getattr(probe, "INPUT", "hash") == "hash":
-        return df.filter(F.col(column).isNotNull()).select(
+        out = df.filter(F.col(column).isNotNull()).select(
             F.xxhash64(F.col(column)).alias("__in")
         )
-    return df.filter(F.col(column).isNotNull()).select(
-        F.col(column).cast("double").alias("__in")
-    )
+    else:
+        out = df.filter(F.col(column).isNotNull()).select(
+            F.col(column).cast("double").alias("__in")
+        )
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < parallelism:
+        out = out.repartition(parallelism)
+    return out
 
 
 def _partials_map(factory: Callable[[], Sketch], group_cols: list[str]):
@@ -109,6 +122,10 @@ def sketch_grouped(
     else:
         in_col = F.col(column).cast("double").alias("__in")
     prepared = df.filter(F.col(column).isNotNull()).select(*group_cols, in_col)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if prepared.rdd.getNumPartitions() < parallelism:
+        # narrow (group, 8B) rows only — see prepare_input's rationale
+        prepared = prepared.repartition(parallelism)
 
     group_schema = ", ".join(
         f"{name} {dtype}" for name, dtype in prepared.select(*group_cols).dtypes

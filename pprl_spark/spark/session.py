@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # wide aggregates (MinHash's 128 min() lanes) must stay inside
+        # whole-stage codegen; the default 100-field cap silently drops
+        # them to the interpreted path (~6x slower measured at sf0.1)
+        .config("spark.sql.codegen.maxFields", "256")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
     )
