@@ -1,0 +1,173 @@
+"""Command-line interface mirroring the reference client's command surface.
+
+The reference ships ``pprl transform/mask/match/estimate`` (pprl_client
+cli.py:96-563) — JSON request configs in, CSV entity/vector files in,
+CSV out, with the HTTP service doing the work in batches.  Here the same
+commands run the distributed engine directly:
+
+    python -m pprl_spark transform CONFIG.json ENTITIES.csv OUT.csv
+    python -m pprl_spark mask      CONFIG.json ENTITIES.csv OUT.csv
+    python -m pprl_spark match     CONFIG.json VEC.csv [VEC.csv ...] OUT.csv
+    python -m pprl_spark estimate  ENTITIES.csv OUT.json -a attr [-a attr ...]
+
+Config files are the reference's own JSON wire shapes (config_json.py);
+a reference user's existing request files work unmodified.  ``match``
+with ≥2 vector files reproduces the reference's multi-file all-pairs
+crosswise semantics (cli.py:209-245) including the ``domain_file`` /
+``range_file`` output columns; ``--lsh`` switches candidate generation
+to Hamming-LSH blocking for large inputs.  ``estimate`` computes weighted
+attribute configs from data (the reference's generator-driven estimate
+flow is available programmatically via ``spark.stats.estimate_weights``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import shutil
+import tempfile
+
+__all__ = ["main"]
+
+
+def _write_single_csv(df, path: str) -> None:
+    """Reference CLI writes one CSV file, not a directory: coalesce to a
+    single part and move it to the target path.  (Driver-side file move
+    only — fine for CLI-sized outputs; use DataFrame sinks for bulk.)"""
+    tmp = tempfile.mkdtemp(prefix="pprl_csv_")
+    try:
+        df.coalesce(1).write.mode("overwrite").csv(tmp, header=True)
+        part = sorted(glob.glob(os.path.join(tmp, "part-*.csv")))[0]
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        shutil.move(part, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _cmd_transform(args, spark) -> None:
+    from pyspark.sql import functions as F
+
+    from .config_json import load_json_config
+    from .io import read_entity_csv
+    from .spark.transform import transform
+
+    cfg = load_json_config(args.config, "transform")
+    df = read_entity_csv(spark, args.entities, id_column=args.id_column)
+    attrs = [c for c in df.columns if c != "id"]
+    out = transform(df, cfg, attrs)
+    _write_single_csv(out.select(F.col("id"), *attrs), args.output)
+
+
+def _cmd_mask(args, spark) -> None:
+    from .config_json import load_json_config
+    from .io import read_entity_csv
+    from .spark.mask import mask_b64
+
+    cfg = load_json_config(args.config, "mask")
+    df = read_entity_csv(spark, args.entities, id_column=args.id_column)
+    attrs = [c for c in df.columns if c != "id"]
+    _write_single_csv(mask_b64(df, cfg, attrs), args.output)
+
+
+def _parse_lsh(spec: str):
+    from .spark.lsh import LSHConfig
+
+    num_bits, bands, width = (int(x) for x in spec.split(","))
+    scheme = "chunked" if width % 8 == 0 and bands * width <= num_bits else "sampled"
+    return LSHConfig(num_bits=num_bits, num_bands=bands, band_width=width, scheme=scheme)
+
+
+def _cmd_match(args, spark) -> None:
+    from pyspark.sql import functions as F
+
+    from .config_json import load_json_config
+    from .io import read_bit_vector_csv
+    from .spark.match import match_crosswise, match_files, match_lsh
+
+    cfg = load_json_config(args.config, "match")
+    lsh = _parse_lsh(args.lsh) if args.lsh else None
+    files = {os.path.basename(p): read_bit_vector_csv(spark, p) for p in args.vectors}
+    if len(files) == 1:
+        # single file → self-match, reference's one-file crosswise product
+        (name, df), = files.items()
+        if lsh is None:
+            out = match_crosswise(df, df, cfg).filter(
+                F.col("domain_id") < F.col("range_id")
+            )
+        else:
+            out = match_lsh(df, None, cfg, lsh)
+        out = out.select(
+            "domain_id",
+            F.lit(name).alias("domain_file"),
+            "range_id",
+            F.lit(name).alias("range_file"),
+            "similarity",
+        )
+    else:
+        out = match_files(files, cfg, lsh=lsh)
+    _write_single_csv(out, args.output)
+
+
+def _cmd_estimate(args, spark) -> None:
+    from .config_json import weighted_attributes_to_json
+    from .io import read_entity_csv
+    from .spark.stats import compute_attribute_stats
+
+    df = read_entity_csv(spark, args.entities, id_column=args.id_column)
+    attrs = args.attribute or [c for c in df.columns if c != "id"]
+    stats = compute_attribute_stats(df, attrs, q=args.token_size, padding=args.padding)
+    with open(args.output, "w") as fh:
+        fh.write(weighted_attributes_to_json(stats, indent=2))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="pprl_spark", description="PySpark-native PPRL engine CLI"
+    )
+    ap.add_argument("--master", default=None, help="Spark master (default local[$SPARK_GRAFT_CPUS])")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("transform", help="apply a transform request to an entity CSV")
+    p.add_argument("config")
+    p.add_argument("entities")
+    p.add_argument("output")
+    p.add_argument("--id-column", default="id")
+    p.set_defaults(fn=_cmd_transform)
+
+    p = sub.add_parser("mask", help="encode an entity CSV into base64 bit vectors")
+    p.add_argument("config")
+    p.add_argument("entities")
+    p.add_argument("output")
+    p.add_argument("--id-column", default="id")
+    p.set_defaults(fn=_cmd_mask)
+
+    p = sub.add_parser("match", help="match bit-vector CSVs (1 file = self-match; n files = all pairs)")
+    p.add_argument("config")
+    p.add_argument("vectors", nargs="+")
+    p.add_argument("output")
+    p.add_argument("--lsh", default=None, metavar="BITS,BANDS,WIDTH",
+                   help="use Hamming-LSH blocking instead of crosswise")
+    p.set_defaults(fn=_cmd_match)
+
+    p = sub.add_parser("estimate", help="estimate weighted attribute configs from data")
+    p.add_argument("entities")
+    p.add_argument("output")
+    p.add_argument("-a", "--attribute", action="append", default=None)
+    p.add_argument("--token-size", type=int, default=2)
+    p.add_argument("--padding", default="_")
+    p.add_argument("--id-column", default="id")
+    p.set_defaults(fn=_cmd_estimate)
+    return ap
+
+
+def main(argv: "list[str] | None" = None) -> None:
+    args = build_parser().parse_args(argv)
+    from .spark.session import get_spark
+
+    spark = get_spark("pprl-cli", master=args.master)
+    args.fn(args, spark)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""CLI parity: the reference client's transform/mask/match/estimate
+command flow (pprl_client cli.py:96-563) driven end-to-end through
+`python -m pprl_spark` with reference-wire-format JSON configs and CSV
+files."""
+
+import base64
+import csv
+import json
+
+import pytest
+
+from pprl_spark import cli
+from pprl_spark.config import CLKFilter, HashConfig, HashFunctionConfig, MaskConfig
+from pprl_spark.kernels.encode import BloomEncoder
+
+
+MASK_REQUEST = {
+    "config": {
+        "token_size": 2,
+        "hash": {
+            "function": {"algorithms": ["sha256"], "key": None},
+            "strategy": {"name": "double_hash"},
+        },
+        "prepend_attribute_name": False,
+        "filter": {"type": "clk", "filter_size": 256, "hash_values": 4},
+        "padding": "_",
+        "hardeners": [],
+    },
+    "attributes": [],
+}
+
+TRANSFORM_REQUEST = {
+    "config": {"empty_value": "ignore"},
+    "attribute_transformers": [
+        {
+            "attribute_name": "name",
+            "transformers": [{"name": "mapping", "mapping": {"bob": "B"}, "default_value": "X"}],
+        }
+    ],
+    "global_transformers": {"before": [], "after": []},
+}
+
+MATCH_REQUEST = {"config": {"measure": "dice", "threshold": 0.8, "method": "crosswise"}}
+
+
+def _read_csv(path):
+    with open(path, newline="") as fh:
+        return list(csv.DictReader(fh))
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    (tmp_path / "mask.json").write_text(json.dumps(MASK_REQUEST))
+    (tmp_path / "transform.json").write_text(json.dumps(TRANSFORM_REQUEST))
+    (tmp_path / "match.json").write_text(json.dumps(MATCH_REQUEST))
+    (tmp_path / "a.csv").write_text("id,name\na1,anna maria\na2,bob jones\n")
+    (tmp_path / "b.csv").write_text("id,name\nb1,anna maria\nb2,quentin zulu\n")
+    return tmp_path
+
+
+def test_cli_mask_matches_kernel_encoding(spark, workdir):
+    out = workdir / "masked_a.csv"
+    cli.main(["mask", str(workdir / "mask.json"), str(workdir / "a.csv"), str(out)])
+    rows = {r["id"]: r["value"] for r in _read_csv(out)}
+    cfg = MaskConfig(
+        filter=CLKFilter(256, 4),
+        hash=HashConfig(HashFunctionConfig(("sha256",)), "double_hash"),
+        token_size=2,
+        padding="_",
+        prepend_attribute_name=False,
+    )
+    enc = BloomEncoder(cfg, ["name"])
+    want = enc.encode_batch_b64(["a1", "a2"], {"name": ["anna maria", "bob jones"]})
+    assert [rows["a1"], rows["a2"]] == want
+    # wire value round-trips through plain base64 (no MIME wraps)
+    assert len(base64.b64decode(rows["a1"])) == 32
+
+
+def test_cli_transform(spark, workdir):
+    out = workdir / "transformed.csv"
+    cli.main(["transform", str(workdir / "transform.json"), str(workdir / "a.csv"), str(out)])
+    rows = {r["id"]: r["name"] for r in _read_csv(out)}
+    assert rows == {"a1": "X", "a2": "X"}  # whole-value mapping, no exact hit
+
+    (workdir / "c.csv").write_text("id,name\nc1,bob\n")
+    cli.main(["transform", str(workdir / "transform.json"), str(workdir / "c.csv"), str(out)])
+    assert _read_csv(out)[0]["name"] == "B"
+
+
+def test_cli_match_multi_file_all_pairs(spark, workdir):
+    for name in ("a", "b"):
+        cli.main([
+            "mask", str(workdir / "mask.json"),
+            str(workdir / f"{name}.csv"), str(workdir / f"m_{name}.csv"),
+        ])
+    out = workdir / "matches.csv"
+    cli.main([
+        "match", str(workdir / "match.json"),
+        str(workdir / "m_a.csv"), str(workdir / "m_b.csv"), str(out),
+    ])
+    rows = _read_csv(out)
+    assert set(rows[0]) == {"domain_id", "domain_file", "range_id", "range_file", "similarity"}
+    hits = {(r["domain_id"], r["range_id"]): float(r["similarity"]) for r in rows}
+    assert hits[("a1", "b1")] == pytest.approx(1.0)  # anna maria in both files
+    assert all(r["domain_file"] == "m_a.csv" and r["range_file"] == "m_b.csv" for r in rows)
+    # single-file self-match mode
+    out2 = workdir / "self.csv"
+    cli.main(["match", str(workdir / "match.json"), str(workdir / "m_a.csv"), str(out2)])
+    self_rows = _read_csv(out2)
+    assert all(r["domain_id"] < r["range_id"] for r in self_rows)
+
+
+def test_cli_estimate_writes_reference_shape(spark, workdir):
+    out = workdir / "weights.json"
+    cli.main(["estimate", str(workdir / "a.csv"), str(out), "-a", "name"])
+    payload = json.loads(out.read_text())
+    assert payload[0]["attribute_name"] == "name"
+    assert payload[0]["weight"] > 0 and payload[0]["average_token_count"] > 0

@@ -283,6 +283,32 @@ def test_chunked_scheme_validation():
         LSHConfig(num_bits=128, scheme="bogus")
 
 
+# ----------------------------------------------------- staged job smoke
+
+def test_pprl_job_stages_end_to_end(spark, tmp_path):
+    """The shipped staged job (jobs/pprl_job.py) runs extract → transform
+    → encode → block/match → sketch on the sf0.001 documents and resumes
+    as a no-op."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "pprl_job", pathlib.Path(__file__).resolve().parent.parent / "jobs" / "pprl_job.py"
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+    from pprl_spark.spark.pipeline import Pipeline
+
+    stages = job.build_stages("/root/testdata/sf0.001/documents.parquet", True, 2)
+    results = Pipeline(spark, tmp_path, stages).run()
+    stats = {r["stat"]: r["value"] for r in results["sketch"].collect()}
+    assert stats["n_matches"] >= 1
+    assert 400 <= stats["distinct_ids_hll"] <= 600  # 500 docs, HLL p=14
+    # resume: identical outputs, no recompute (lineage-gated)
+    again = Pipeline(spark, tmp_path, stages).run()
+    assert {r["stat"]: r["value"] for r in again["sketch"].collect()} == stats
+
+
 # --------------------------------------------- non-Latin transliteration
 
 def test_to_ascii_covers_cyrillic_and_greek():
@@ -317,8 +343,9 @@ def test_estimate_weights_generator_driven(spark):
     assert set(by_name) == {"name", "flag"}
     assert by_name["name"].weight > by_name["flag"].weight
     assert by_name["flag"].average_token_count == pytest.approx(3.5)  # 'yes'/'no' padded bigrams
-    # deterministic across partitioning
+    # partition-invariant up to float-summation order (the entropy sum is
+    # a parallel double reduction; exact bit equality is not promised)
     attrs2 = estimate_weights(spark, gens, n=400, q=2, padding="_", partitions=7)
-    assert [(a.weight, a.average_token_count) for a in attrs] == [
-        (a.weight, a.average_token_count) for a in attrs2
-    ]
+    for a, b in zip(attrs, attrs2):
+        assert a.weight == pytest.approx(b.weight, rel=1e-9)
+        assert a.average_token_count == pytest.approx(b.average_token_count, rel=1e-12)
