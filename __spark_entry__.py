@@ -182,17 +182,21 @@ def distinct_users_exact(spark, sf_dir):
 def _doc_tokens(spark, sf_dir):
     from pprl_spark.spark.stats import with_tokens
 
-    docs = _load(spark, sf_dir, "documents")
+    # re-split: the documents table is a single parquet split at test
+    # scales, which would serialize the tokenize/explode stage on one core
+    docs = _load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return with_tokens(docs, "text", q=2, padding="_")
 
 
 def token_frequencies(spark, sf_dir):
-    return (
-        _doc_tokens(spark, sf_dir)
-        .select(F.explode("tokens").alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
+    from pprl_spark.spark.stats import token_frequencies as tf
+
+    docs = _load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return tf(docs.select("text"), "text", q=2, padding="_")
 
 
 def avg_token_count(spark, sf_dir):
@@ -501,6 +505,17 @@ def multimodal_decode(spark, sf_dir):
     return feats.select("doc_id", "width", "height", "n_channels", "sha256")
 
 
+def multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing over binary payloads (video-style byte-
+    offset slices in the stub decoder)."""
+    from pprl_spark.spark.multimodal import sample_frames
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return sample_frames(docs, every_n_bytes=256, max_frames=4)
+
+
 
 
 def transform_datetime(spark, sf_dir):
@@ -697,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_documents": langid_documents,
         "ann_lsh_topk": ann_lsh_topk,
         "multimodal_decode": multimodal_decode,
+        "multimodal_frames": multimodal_frames,
     }
 
 
@@ -960,6 +976,18 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dup_pairs": _sql_simhash_pairs(),
         "langid_documents": _sql_langid(),
         "multimodal_decode": _sql_multimodal(),
+        # corpus is ASCII (asserted in tests), so 1024-char substrings hash
+        # the same bytes as the engine's payload byte slices
+        "multimodal_frames": """
+            WITH f AS (
+              SELECT doc_id, text,
+                     unnest(range(0, least(4, greatest(1, length(text) // 256)))) AS i
+              FROM documents
+            )
+            SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                   sha256(text[CAST(i*256 + 1 AS INT):CAST(i*256 + 256 AS INT)]) AS frame_sha256
+            FROM f
+        """,
         # assertion-shaped sketch rows: exact answer oracle-checked in SQL,
         # the boolean asserts the estimate met its published bound
         "hll_distinct_users": """

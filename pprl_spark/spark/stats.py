@@ -16,13 +16,12 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
 
 from ..config import WeightedAttributeConfig
-from ..kernels.tokenize import tokenize_list
 
 __all__ = [
-    "tokens_udf",
+    "padded_qgram_tokens",
+    "qgram_windows",
     "with_tokens",
     "token_frequencies",
     "average_token_count",
@@ -32,32 +31,69 @@ __all__ = [
 ]
 
 
-def tokens_udf(q: int = 2, padding: str = "_"):
-    """pandas UDF: string → array of distinct q-grams (first-occurrence
-    order, so plans are deterministic)."""
+def padded_qgram_tokens(col, q: int = 2, padding: str = "_"):
+    """Distinct padded q-grams as a pure Catalyst expression — the
+    reference tokenizer's set semantics (common.py:9-28: pad ``(q-1)``
+    copies of ``padding`` on both sides, slide a window of ``q``, dedup)
+    with no Python worker.  ``array_distinct`` keeps first-occurrence
+    order, matching kernels.tokenize_list.  Bit-exact parity for the
+    *encode* path stays with kernels.tokenize (asserted by unit tests);
+    this expression feeds the order-insensitive statistics aggregates."""
+    col = F.col(col) if isinstance(col, str) else col
+    pad = F.lit(padding * (q - 1))
+    padded = F.concat(pad, col, pad)
+    # the when() guards sequence()'s descending-range behavior when the
+    # padded value is shorter than q (possible with empty padding):
+    # the reference tokenizer returns the empty set there
+    return F.when(
+        F.length(padded) >= q,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(padded) - (q - 1)),
+                lambda i: F.substring(padded, i, q),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
-    @F.pandas_udf(ArrayType(StringType()))
-    def _tok(values: pd.Series) -> pd.Series:
-        return values.map(lambda v: tokenize_list(v, q, padding) if v is not None else None)
 
-    return _tok
+def qgram_windows(col, q: int = 2, padding: str = "_"):
+    """ALL padded q-gram windows (duplicates kept) — the cheap explode
+    feed.  ``explode(array_distinct(...))`` must be avoided: Generate
+    inlines and re-evaluates its child expression per OUTPUT row, turning
+    the per-row dedup quadratic (measured 8x on sf0.1).  Consumers that
+    need set semantics deduplicate after the explode, where it is a
+    map-side aggregate."""
+    col = F.col(col) if isinstance(col, str) else col
+    pad = F.lit(padding * (q - 1))
+    padded = F.concat(pad, col, pad)
+    return F.when(
+        F.length(padded) >= q,
+        F.transform(
+            F.sequence(F.lit(1), F.length(padded) - (q - 1)),
+            lambda i: F.substring(padded, i, q),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def with_tokens(df: DataFrame, column: str, q: int = 2, padding: str = "_",
                 tokens_col: str = "tokens") -> DataFrame:
-    return df.withColumn(tokens_col, tokens_udf(q, padding)(F.col(column)))
+    return df.withColumn(tokens_col, padded_qgram_tokens(F.col(column), q, padding))
 
 
 def token_frequencies(df: DataFrame, column: str, q: int = 2, padding: str = "_") -> DataFrame:
-    """Exact global q-gram frequencies: explode → hash-aggregate.
-    Partial (map-side) aggregation makes the shuffle carry one row per
-    distinct token per partition, not per occurrence."""
-    return (
-        with_tokens(df, column, q, padding)
-        .select(F.explode("tokens").alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
+    """Exact global q-gram frequencies with the reference's set semantics
+    (each record contributes 1 per DISTINCT token, lib.py:112-119).
+
+    Plan: explode the raw windows (cheap Generate — see qgram_windows) and
+    count distinct per-record ids per token.  The per-record dedup happens
+    in the map-side partial of the distinct aggregation (a record's rows
+    live in one partition), so the shuffle carries ~distinct tokens per
+    partition, not occurrences."""
+    rows = df.select(
+        F.monotonically_increasing_id().alias("__rid"), F.col(column).alias("__v")
     )
+    raw = rows.select("__rid", F.explode(qgram_windows(F.col("__v"), q, padding)).alias("token"))
+    return raw.groupBy("token").agg(F.countDistinct("__rid").alias("freq"))
 
 
 def average_token_count(df: DataFrame, column: str, q: int = 2, padding: str = "_") -> float:

@@ -30,6 +30,39 @@ def _local_counts(q, padding):
     return counts
 
 
+def test_padded_qgram_tokens_expression_matches_kernel(spark):
+    """The Catalyst tokenizer expression must produce the same distinct
+    gram set as kernels.tokenize for every (q, padding) shape, including
+    the short-value/empty-padding edge where the reference returns the
+    empty set."""
+    from pyspark.sql import functions as F
+
+    from pprl_spark.spark.stats import padded_qgram_tokens
+
+    values = ["foobar", "a", "", "ab", "hello world"]
+    df = spark.createDataFrame([(v,) for v in values], ["value"])
+    for q, padding in ((2, "_"), (3, "_"), (4, "#"), (2, ""), (4, "")):
+        rows = df.select(
+            "value", padded_qgram_tokens(F.col("value"), q, padding).alias("t")
+        ).collect()
+        for r in rows:
+            assert set(r["t"]) == tokenize(r["value"], q, padding), (q, padding, r["value"])
+
+
+def test_documents_corpus_is_ascii(spark):
+    """The multimodal_frames oracle hashes character substrings in DuckDB
+    against byte slices in the engine — valid only while the corpus is
+    pure ASCII.  Guard the assumption."""
+    from pyspark.sql import functions as F
+
+    for sf in ("/root/testdata/sf0.001",):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        bad = docs.filter(
+            F.length(F.col("text")) != F.octet_length(F.col("text"))
+        ).count()
+        assert bad == 0
+
+
 def test_token_frequencies_exact(words_df):
     got = {r["token"]: r["freq"] for r in token_frequencies(words_df, "value").collect()}
     assert got == dict(_local_counts(2, "_"))
