@@ -586,7 +586,7 @@ def pprl_mask_hardened(spark, sf_dir):
     )
     cfg = MaskConfig(
         filter=CLKFilter(512, 5),
-        hash=HashConfig(HashFunctionConfig(("sha1",)), "double_hash"),
+        hash=HashConfig(HashFunctionConfig(("sha256",)), "double_hash"),
         token_size=2,
         padding="_",
         prepend_attribute_name=False,
@@ -611,7 +611,7 @@ def pprl_mask_rbf(spark, sf_dir):
     )
     cfg = MaskConfig(
         filter=RBFFilter(hash_values=4, seed=727),
-        hash=HashConfig(HashFunctionConfig(("sha1",)), "double_hash"),
+        hash=HashConfig(HashFunctionConfig(("sha256",)), "double_hash"),
         token_size=2,
         padding="_",
         attributes=(
@@ -758,35 +758,39 @@ def _sql_grams(col: str, q: int) -> str:
     )
 
 
-def _sql_clk_pos_cte(toks_sql: str, m: int) -> str:
-    """CTEs: toks(id, token, k) → pos(id, bit) distinct set-bit positions."""
+def _sql_clk_pos_cte(toks_sql: str, extra: tuple = ()) -> str:
+    """CTEs: toks(id[, extra…], token, k, m) → pos(id[, extra…], bit)
+    distinct set-bit positions, with per-row hash count k and filter
+    size m (so multi-attribute encoders with differing per-attribute
+    filters share the same skeleton)."""
+    cols = "".join(f", {c}" for c in extra)
     return f"""
 , toks AS ({toks_sql})
 , ints AS (
-  SELECT id, k, {_SQL_LE_INT32} AS iv FROM (
-    SELECT id, k, {_SQL_HEX_BYTES} AS b FROM (SELECT id, k, sha256(token) AS hx FROM toks)
+  SELECT id{cols}, k, m, {_SQL_LE_INT32} AS iv FROM (
+    SELECT id{cols}, k, m, {_SQL_HEX_BYTES} AS b
+    FROM (SELECT id{cols}, k, m, sha256(token) AS hx FROM toks)
   )
 ), pos AS (
-  SELECT DISTINCT id, CASE WHEN raw < 0 THEN (-raw - 1) % {m} ELSE raw % {m} END AS bit
+  SELECT DISTINCT id{cols}, CASE WHEN raw < 0 THEN (-raw - 1) % m ELSE raw % m END AS bit
   FROM (
-    SELECT id, unnest([xor(iv[1], iv[2]) + i * xor(iv[3], iv[4]) FOR i IN range(1, k + 1)]) AS raw
+    SELECT id{cols}, m,
+           unnest([xor(iv[1], iv[2]) + i * xor(iv[3], iv[4]) FOR i IN range(1, k + 1)]) AS raw
     FROM ints
   )
 )"""
 
 
-def _sql_clk_b64(toks_sql: str, m: int) -> str:
-    """Full mask oracle: (id, value=base64 of the packed m-bit vector)."""
-    n_bytes = (m + 7) // 8
+def _sql_pack_b64(bits_rel: str, n_bytes: int) -> str:
+    """Final SELECT: pack a (id, bit) relation into MSB-first bytes and
+    base64 — the reference's bitarray.tobytes() wire format."""
     return f"""
-WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents)
-{_sql_clk_pos_cte(toks_sql, m)}
 , bytes AS (
   SELECT d.id, g.bytepos,
          coalesce(sum(1 << CAST(7 - (p.bit % 8) AS INT)), 0) AS byteval
   FROM docs d
   CROSS JOIN (SELECT unnest(range(0, {n_bytes})) AS bytepos) g
-  LEFT JOIN pos p ON p.id = d.id AND p.bit // 8 = g.bytepos
+  LEFT JOIN {bits_rel} p ON p.id = d.id AND p.bit // 8 = g.bytepos
   GROUP BY d.id, g.bytepos
 )
 SELECT id, to_base64(unhex(string_agg(printf('%02x', CAST(byteval AS INT)), '' ORDER BY bytepos))) AS value
@@ -794,10 +798,18 @@ FROM bytes GROUP BY id
 """
 
 
+def _sql_clk_b64(toks_sql: str, m: int) -> str:
+    """Full mask oracle: (id, value=base64 of the packed m-bit vector)."""
+    return f"""
+WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents)
+{_sql_clk_pos_cte(toks_sql)}
+{_sql_pack_b64("pos", (m + 7) // 8)}"""
+
+
 def _sql_mask_documents() -> str:
     toks = (
         "SELECT CAST(doc_id AS VARCHAR) AS id, "
-        f"unnest({_sql_grams('text', 2)}) AS token, 5 AS k FROM documents"
+        f"unnest({_sql_grams('text', 2)}) AS token, 5 AS k, 1024 AS m FROM documents"
     )
     return _sql_clk_b64(toks, 1024)
 
@@ -808,22 +820,139 @@ def _sql_mask_clkrbf() -> str:
     # prepend_attribute_name=True → token = attr_name || gram (mask.py:228-229).
     toks = (
         "SELECT CAST(doc_id AS VARCHAR) AS id, "
-        f"'text' || unnest({_sql_grams('text', 2)}) AS token, 12 AS k FROM documents"
+        f"'text' || unnest({_sql_grams('text', 2)}) AS token, 12 AS k, 706 AS m FROM documents"
         " UNION ALL SELECT CAST(doc_id AS VARCHAR) AS id, "
-        f"'lang' || unnest({_sql_grams('lang', 2)}) AS token, 3 AS k FROM documents"
+        f"'lang' || unnest({_sql_grams('lang', 2)}) AS token, 3 AS k, 706 AS m FROM documents"
     )
     return _sql_clk_b64(toks, 706)
+
+
+def _int_list(values) -> str:
+    return "[" + ", ".join(str(int(v)) for v in values) + "]"
+
+
+def _sql_mask_hardened() -> str:
+    """Hardened-mask oracle.  The chain balance → permute(727) → rule_90 →
+    xor_fold is an AFFINE transform over GF(2) whose matrix depends only
+    on the config: out = A·in ⊕ c.  The generator probes the ACTUAL
+    kernel chain (kernels/harden.py) with basis vectors to extract, per
+    output bit, its input taps and constant, verifies affinity on random
+    probes, and inlines them as literal arrays — the SQL then computes
+    each output bit as constant ⊕ parity(taps ∩ input set)."""
+    import numpy as np
+
+    from pprl_spark.config import HardenerConfig
+    from pprl_spark.kernels.harden import build_hardener_chain
+
+    m_in = 512
+    chain = build_hardener_chain((
+        HardenerConfig("balance"),
+        HardenerConfig("permute", seed=727),
+        HardenerConfig("rule_90"),
+        HardenerConfig("xor_fold"),
+    ))
+    zero = np.zeros(m_in, dtype=bool)
+    const = chain(zero)
+    m_out = const.shape[0]
+    cols = np.zeros((m_in, m_out), dtype=bool)
+    for kbit in range(m_in):
+        e = zero.copy()
+        e[kbit] = True
+        cols[kbit] = chain(e) ^ const
+    # affinity sanity check on random inputs: A·x ⊕ c must equal chain(x)
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        x = rng.random(m_in) < 0.5
+        assert np.array_equal(
+            np.bitwise_xor.reduce(cols[x], axis=0) ^ const, chain(x)
+        ), "hardener chain is not affine — oracle generator invalid"
+    taps_j, taps_p = [], []
+    for kbit in range(m_in):
+        for j in np.nonzero(cols[kbit])[0]:
+            taps_j.append(int(j))
+            taps_p.append(kbit)
+    toks = (
+        "SELECT CAST(doc_id AS VARCHAR) AS id, "
+        f"unnest({_sql_grams('text', 2)}) AS token, 5 AS k, {m_in} AS m FROM documents"
+    )
+    return f"""
+WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents)
+{_sql_clk_pos_cte(toks)}
+, taps AS (SELECT unnest({_int_list(taps_j)}) AS j, unnest({_int_list(taps_p)}) AS p)
+, consts AS (SELECT unnest(range(0, {m_out})) AS j,
+                    unnest({_int_list(const.astype(int))}) AS c)
+, hits AS (
+  SELECT p2.id, t.j, count(*) AS n
+  FROM pos p2 JOIN taps t ON t.p = p2.bit
+  GROUP BY p2.id, t.j
+), outbits AS (
+  SELECT d.id, co.j AS bit
+  FROM docs d
+  CROSS JOIN consts co
+  LEFT JOIN hits h ON h.id = d.id AND h.j = co.j
+  WHERE (co.c + coalesce(h.n, 0)) % 2 = 1
+)
+{_sql_pack_b64("outbits", (m_out + 7) // 8)}"""
+
+
+def _sql_mask_rbf() -> str:
+    """RBF oracle.  The sampling stream (which positions of each
+    attribute filter are probed and where they land in the parent vector,
+    routers/mask.py:353-378) depends only on the config; the generator
+    takes it straight from the engine's own RBF plan (BloomEncoder) and
+    inlines it, so the SQL is: per-attribute CLK fill → sampled-position
+    join → union of parent bits → pack."""
+    from pprl_spark.config import (HashConfig, HashFunctionConfig, MaskConfig,
+                                   RBFFilter, WeightedAttributeConfig)
+    from pprl_spark.kernels.encode import BloomEncoder
+
+    cfg = MaskConfig(
+        filter=RBFFilter(hash_values=4, seed=727),
+        hash=HashConfig(HashFunctionConfig(("sha256",)), "double_hash"),
+        token_size=2,
+        padding="_",
+        attributes=(
+            WeightedAttributeConfig("text", weight=4, average_token_count=40),
+            WeightedAttributeConfig("lang", weight=1, average_token_count=3),
+        ),
+    )
+    enc = BloomEncoder(cfg, ["text", "lang"])
+    k = cfg.filter.hash_values
+    attr_list, probe_list, parent_list = [], [], []
+    for name in enc._rbf_sorted_names:
+        probe, parent_pos = enc._rbf_sampling[name]
+        attr_list.extend([name] * len(probe))
+        probe_list.extend(int(x) for x in probe)
+        parent_list.extend(int(x) for x in parent_pos)
+    attrs_sql = "[" + ", ".join(f"'{a}'" for a in attr_list) + "]"
+    toks = " UNION ALL ".join(
+        f"SELECT CAST(doc_id AS VARCHAR) AS id, '{attr}' AS attr, "
+        f"'{attr}' || unnest({_sql_grams(attr, 2)}) AS token, "
+        f"{k} AS k, {enc._rbf_attr_size[attr]} AS m FROM documents"
+        for attr in enc._rbf_sorted_names
+    )
+    return f"""
+WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents)
+{_sql_clk_pos_cte(toks, extra=("attr",))}
+, samp AS (SELECT unnest({attrs_sql}) AS attr,
+                  unnest({_int_list(probe_list)}) AS probe,
+                  unnest({_int_list(parent_list)}) AS parent)
+, parentbits AS (
+  SELECT DISTINCT p.id, s.parent AS bit
+  FROM pos p JOIN samp s ON s.attr = p.attr AND s.probe = p.bit
+)
+{_sql_pack_b64("parentbits", (enc.m + 7) // 8)}"""
 
 
 def _sql_flagship_sets_cte(where: str = "") -> str:
     """docs → sets(id, bits, n) for the flagship mask (q=4, m=1024, k=3)."""
     toks = (
         f"SELECT CAST(doc_id AS VARCHAR) AS id, "
-        f"unnest({_sql_grams('text', 4)}) AS token, 3 AS k FROM documents {where}"
+        f"unnest({_sql_grams('text', 4)}) AS token, 3 AS k, 1024 AS m FROM documents {where}"
     )
     return f"""
 WITH __docs AS (SELECT 1)
-{_sql_clk_pos_cte(toks, 1024)}
+{_sql_clk_pos_cte(toks)}
 , sets AS (
   SELECT id, list(bit) AS bits, count(*) AS n FROM pos GROUP BY id
 )"""
@@ -970,6 +1099,8 @@ def oracle_sql() -> dict[str, str]:
         # bit-exact PPRL stages (see _sql_clk_* helpers above)
         "pprl_mask_documents": _sql_mask_documents(),
         "pprl_mask_clkrbf": _sql_mask_clkrbf(),
+        "pprl_mask_hardened": _sql_mask_hardened(),
+        "pprl_mask_rbf": _sql_mask_rbf(),
         "pprl_match_lsh": _sql_match_lsh(),
         "pprl_match_crosswise_sample": _sql_match_crosswise(),
         # md5-derived / expression-level ops
