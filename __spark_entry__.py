@@ -1065,6 +1065,76 @@ SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM (
 """
 
 
+def _sql_minhash_pairs(q: int = 5, num_hashes: int = 128, bands: int = 16,
+                       threshold: float = 0.8) -> str:
+    """Mirror of dedup.minhash_lsh_pairs + jaccard_verify: one md5 per
+    gram → (h1, h2|1) 32-bit lanes → derived family h_j = h1 + j·h2 →
+    per-doc minima → md5 band buckets → candidate self-join → exact
+    q-gram Jaccard ≥ threshold."""
+    from pprl_spark.spark.dedup import _MERSENNE31, minhash_coefficients
+
+    r = num_hashes // bands
+    coeffs = minhash_coefficients(num_hashes)
+    mins = ",\n         ".join(
+        f"min(({a} * h1 + {b} * h2 + {j}) % {_MERSENNE31}) AS h{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    band_keys = ", ".join(
+        "md5(concat_ws('_', "
+        + ", ".join(f"h{band * r + k}" for k in range(r))
+        + "))"
+        for band in range(bands)
+    )
+    raw_windows = (
+        f"[text[CAST(i AS INT):CAST(i+{q - 1} AS INT)]"
+        f" FOR i IN range(1, greatest(length(text) - {q - 1}, 1) + 1)]"
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest({raw_windows}) AS t FROM documents
+), l AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', hx[1]) - 1) * 268435456
+           + (strpos('0123456789abcdef', hx[2]) - 1) * 16777216
+           + (strpos('0123456789abcdef', hx[3]) - 1) * 1048576
+           + (strpos('0123456789abcdef', hx[4]) - 1) * 65536
+           + (strpos('0123456789abcdef', hx[5]) - 1) * 4096
+           + (strpos('0123456789abcdef', hx[6]) - 1) * 256
+           + (strpos('0123456789abcdef', hx[7]) - 1) * 16
+           + (strpos('0123456789abcdef', hx[8]) - 1)) % 2147483647 AS h1,
+         ((strpos('0123456789abcdef', hx[9]) - 1) * 268435456
+           + (strpos('0123456789abcdef', hx[10]) - 1) * 16777216
+           + (strpos('0123456789abcdef', hx[11]) - 1) * 1048576
+           + (strpos('0123456789abcdef', hx[12]) - 1) * 65536
+           + (strpos('0123456789abcdef', hx[13]) - 1) * 4096
+           + (strpos('0123456789abcdef', hx[14]) - 1) * 256
+           + (strpos('0123456789abcdef', hx[15]) - 1) * 16
+           + (strpos('0123456789abcdef', hx[16]) - 1)) % 2147483647 AS h2
+  FROM (SELECT doc_id, md5(t) AS hx FROM g)
+), s AS (
+  SELECT doc_id,
+         {mins}
+  FROM l GROUP BY doc_id
+), b AS (
+  SELECT doc_id, generate_subscripts(arr, 1) AS band, unnest(arr) AS bucket
+  FROM (SELECT doc_id, [{band_keys}] AS arr FROM s)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+), tl AS (
+  SELECT doc_id, list_distinct({raw_windows}) AS tk FROM documents
+)
+SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         CAST(length(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+           / length(list_distinct(list_concat(ta.tk, tb.tk))) AS jac
+  FROM cands c
+  JOIN tl ta ON ta.doc_id = c.id_a
+  JOIN tl tb ON tb.doc_id = c.id_b
+) WHERE jac >= {threshold}
+"""
+
+
 def _sql_multimodal() -> str:
     """Mirror of multimodal.decode_image_features stub: payload =
     utf-8(text), so sha256(text) in DuckDB hashes the same bytes; width/
@@ -1104,6 +1174,7 @@ def oracle_sql() -> dict[str, str]:
         "pprl_match_lsh": _sql_match_lsh(),
         "pprl_match_crosswise_sample": _sql_match_crosswise(),
         # md5-derived / expression-level ops
+        "minhash_dedup_pairs": _sql_minhash_pairs(),
         "simhash_dup_pairs": _sql_simhash_pairs(),
         "langid_documents": _sql_langid(),
         "multimodal_decode": _sql_multimodal(),

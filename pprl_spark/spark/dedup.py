@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 __all__ = [
+    "qgram_raw_windows",
     "qgram_tokens",
     "word_tokens",
     "exact_dedup",
@@ -47,17 +48,25 @@ __all__ = [
 
 # ---------------------------------------------------------------- tokens
 
+def qgram_raw_windows(col: Column | str, q: int = 5) -> Column:
+    """ALL character q-gram windows, duplicates kept — the explode feed.
+    ``explode(array_distinct(…))`` re-evaluates the Generate child per
+    output row (quadratic per record); consumers whose math is duplicate-
+    invariant (MinHash minima) explode this directly, others dedup after
+    the explode."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col) - (q - 1), F.lit(1))),
+        lambda i: F.substring(col, i, q),
+    )
+
+
 def qgram_tokens(col: Column | str, q: int = 5) -> Column:
     """Distinct character q-grams, pure Catalyst (sequence+substring).
     (The PPRL-parity padded tokenizer lives in kernels.tokenize; this one
-    is the unpadded shingle used by dedup, matching common practice.)"""
-    col = F.col(col) if isinstance(col, str) else col
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(col) - (q - 1), F.lit(1))),
-            lambda i: F.substring(col, i, q),
-        )
-    )
+    is the unpadded shingle used by dedup, matching common practice.)
+    Do NOT explode this column — see qgram_raw_windows."""
+    return F.array_distinct(qgram_raw_windows(col, q))
 
 
 def word_tokens(col: Column | str) -> Column:
@@ -103,6 +112,39 @@ def minhash_signature(tokens: Column, num_hashes: int = 64) -> Column:
     )
 
 
+_MERSENNE31 = 2147483647  # 2^31 - 1, the minhash field modulus
+
+
+def minhash_coefficients(num_hashes: int) -> list:
+    """Per-hash random coefficients (a_j, b_j) ∈ [1, 2^31-1), fixed by a
+    seeded PRNG so the Spark pipeline and the SQL oracle share them.
+
+    h_j(gram) = (a_j·h1 + b_j·h2 + j) mod (2^31-1) with h1/h2 the two
+    md5 halves reduced mod the prime — the standard 'k hashes from one
+    base hash via independent linear maps over a prime field' minhash
+    construction (à la datasketch).  The coefficients MUST be independent
+    per j: a shared-slope family like h1 + j·h2 makes consecutive minima
+    the lower envelope of lines, so whole bands correlate and candidate
+    pairs explode (measured 10x wall blow-up at sf0.1).  All products
+    stay under 2^62 — overflow-free under ANSI mode in both engines."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(1, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def _minhash_lanes(hex_col):
+    """(h1, h2) base hashes from one md5: the digest's two 32-bit halves
+    reduced mod 2^31-1.  One md5 per gram replaces num_hashes xxhash64
+    calls AND keeps the operator DuckDB-oracle-expressible."""
+    h1 = F.conv(F.substring(hex_col, 1, 8), 16, 10).cast("long") % F.lit(_MERSENNE31)
+    h2 = F.conv(F.substring(hex_col, 9, 8), 16, 10).cast("long") % F.lit(_MERSENNE31)
+    return h1, h2
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -126,24 +168,44 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
+    # raw windows, duplicates kept: a duplicate gram cannot change any
+    # min_j, and exploding the distinct array would re-evaluate the dedup
+    # per output row (see qgram_raw_windows)
     toks = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(qgram_tokens(F.col(text_col), q)).alias("__t"),
+        F.explode(qgram_raw_windows(F.col(text_col), q)).alias("__t"),
     )
-    sig = toks.groupBy("__id").agg(
-        *[F.min(F.xxhash64(F.lit(j), F.col("__t"))).alias(f"h{j}") for j in range(num_hashes)]
+    hexed = toks.select("__id", F.md5("__t").alias("__hx"))
+    h1, h2 = _minhash_lanes(F.col("__hx"))
+    lanes = hexed.select("__id", h1.alias("__h1"), h2.alias("__h2"))
+    coeffs = minhash_coefficients(num_hashes)
+    sig = lanes.groupBy("__id").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("__h1") + F.lit(b) * F.col("__h2") + F.lit(j))
+                % F.lit(_MERSENNE31)
+            ).alias(f"h{j}")
+            for j, (a, b) in enumerate(coeffs)
+        ]
     )
-    banded = sig.select(
+    # band bucket = md5 of the band's r mins — an engine-independent key
+    # (the former xxhash64 fold is not reproducible in the SQL oracle).
+    # The key array is computed BELOW the id-keyed exchange: the exchange
+    # (1) materializes it so the posexplode Generate reads an attribute
+    # instead of re-evaluating 16 md5s per output row, and (2) lets the
+    # band self-join's two sides reuse ONE signature computation
+    # (AQE ReusedExchange) instead of re-running the whole pipeline.
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    keys = sig.select(
         "__id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col(f"h{band * r + k}") for k in range(r)])
-                    for band in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+        F.array(
+            *[
+                F.md5(F.concat_ws("_", *[F.col(f"h{band * r + k}") for k in range(r)]))
+                for band in range(bands)
+            ]
+        ).alias("__keys"),
+    ).repartition(n_parts, "__id")
+    banded = keys.select("__id", F.posexplode("__keys").alias("band", "bucket"))
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
         banded = banded.join(
@@ -219,10 +281,13 @@ def simhash_fingerprints(
     if 64 % chunks:
         raise ValueError("chunks must divide 64")
     width = 64 // chunks
+    # explode RAW windows then dedup (id, gram) — the dedup happens in the
+    # aggregation's map-side partial; exploding the distinct array instead
+    # re-evaluates the dedup per output row (see qgram_raw_windows)
     grams = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(qgram_tokens(F.col(text_col), q)).alias("__t"),
-    )
+        F.explode(qgram_raw_windows(F.col(text_col), q)).alias("__t"),
+    ).dropDuplicates(["__id", "__t"])
     # one md5 per gram, two conv() string→int conversions; everything after
     # is integer arithmetic.  The 64 per-bit vote counters are PACKED four
     # to a long (15-bit lanes, max 32767 grams/doc — far above any real
