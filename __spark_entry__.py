@@ -1135,6 +1135,70 @@ SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
 """
 
 
+def _sql_ann_lsh_topk(num_planes: int = 10, probes: int = 4, k: int = 3,
+                      dim: int = 64) -> str:
+    """Mirror of ann.lsh_topk: Rademacher-plane SRP buckets (literal ±1
+    sign lists shared with the engine via ann.rademacher_planes), signed
+    sums folded float32→double in sequence (bit-identical to Spark's
+    aggregate fold), multi-probe flips of the ``probes`` smallest-|proj|
+    planes, exact cosine re-score, top-k."""
+    from pprl_spark.spark.ann import rademacher_planes
+
+    planes = rademacher_planes(num_planes, dim, seed=727)
+
+    def proj(p):
+        signs = "[" + ", ".join(str(s) for s in planes[p]) + "]"
+        return (
+            f"list_sum([CAST(CASE WHEN ({signs})[CAST(j AS INT)] > 0"
+            f" THEN embedding[CAST(j AS INT)]"
+            f" ELSE -embedding[CAST(j AS INT)] END AS DOUBLE)"
+            f" FOR j IN range(1, {dim + 1})])"
+        )
+
+    projs = ", ".join(proj(p) for p in range(num_planes))
+    primary = " + ".join(
+        f"(CASE WHEN projs[{p + 1}] > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    return f"""
+WITH scored AS (
+  SELECT vec_id, embedding, [{projs}] AS projs FROM embeddings
+), buck AS (
+  SELECT vec_id, embedding, projs, CAST({primary} AS BIGINT) AS pbucket FROM scored
+), qflip AS (
+  SELECT vec_id, pbucket, p FROM (
+    SELECT b.vec_id, b.pbucket, u.i - 1 AS p,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY abs(b.projs[CAST(u.i AS INT)]), u.i) AS rn
+    FROM buck b CROSS JOIN (SELECT unnest(range(1, {num_planes + 1})) AS i) u
+    WHERE b.vec_id < 5
+  ) WHERE rn <= {probes}
+), qbuckets AS (
+  SELECT vec_id AS qid, pbucket AS bucket FROM buck WHERE vec_id < 5
+  UNION
+  SELECT vec_id AS qid, xor(pbucket, CAST(1 AS BIGINT) << CAST(p AS INT)) AS bucket FROM qflip
+), cands AS (
+  SELECT DISTINCT i.vec_id AS iid, q.qid
+  FROM buck i JOIN qbuckets q ON i.pbucket = q.bucket
+), cos AS (
+  SELECT c.qid AS query_id, c.iid AS vec_id,
+         list_sum([CAST(i.embedding[CAST(j AS INT)] * q.embedding[CAST(j AS INT)] AS DOUBLE)
+                   FOR j IN range(1, {dim + 1})])
+         / sqrt(list_sum([CAST(x * x AS DOUBLE) FOR x IN i.embedding])
+                * list_sum([CAST(x * x AS DOUBLE) FOR x IN q.embedding])) AS cosv
+  FROM cands c
+  JOIN embeddings i ON i.vec_id = c.iid
+  JOIN embeddings q ON q.vec_id = c.qid
+), ranked AS (
+  SELECT query_id, vec_id, cosv,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosv DESC, vec_id) AS rank
+  FROM cos
+)
+SELECT query_id, vec_id, round(cosv, 4) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _sql_multimodal() -> str:
     """Mirror of multimodal.decode_image_features stub: payload =
     utf-8(text), so sha256(text) in DuckDB hashes the same bytes; width/
@@ -1174,6 +1238,7 @@ def oracle_sql() -> dict[str, str]:
         "pprl_match_lsh": _sql_match_lsh(),
         "pprl_match_crosswise_sample": _sql_match_crosswise(),
         # md5-derived / expression-level ops
+        "ann_lsh_topk": _sql_ann_lsh_topk(),
         "minhash_dedup_pairs": _sql_minhash_pairs(),
         "simhash_dup_pairs": _sql_simhash_pairs(),
         "langid_documents": _sql_langid(),

@@ -14,13 +14,16 @@ Two paths:
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
 
-__all__ = ["cosine_expr", "brute_force_topk", "hyperplane_buckets_udf", "lsh_topk"]
+__all__ = [
+    "cosine_expr",
+    "brute_force_topk",
+    "rademacher_planes",
+    "srp_projections",
+    "lsh_topk",
+]
 
 
 def cosine_expr(a: Column | str, b: Column | str) -> Column:
@@ -59,32 +62,60 @@ def brute_force_topk(
     )
 
 
-def hyperplane_buckets_udf(dim: int, num_planes: int = 12, seed: int = 727, probes: int = 0):
-    """pandas UDF: embedding → array<long> of bucket keys (primary sign
-    bucket + ``probes`` single-plane-flip neighbors for multi-probe)."""
-    planes = np.random.default_rng(seed).standard_normal((dim, num_planes))
-    weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
+def rademacher_planes(num_planes: int, dim: int, seed: int = 727) -> list:
+    """±1 hyperplane components from a seeded PRNG — sign-random-projection
+    LSH works with Rademacher vectors exactly like Gaussian ones
+    (Achlioptas-style sparse/signed projections), and integer signs make
+    the bucket computation a pure Catalyst expression that a SQL oracle
+    reproduces bit-for-bit (float32 negation is exact; the fold order is
+    sequential in both engines)."""
+    import random
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def _buckets(vecs: pd.Series) -> pd.Series:
-        if vecs.empty:
-            return pd.Series([], dtype="object")
-        mat = np.stack(vecs.to_numpy())
-        proj = mat @ planes
-        primary = (proj > 0).astype(np.int64) @ weights
-        if probes <= 0:
-            return pd.Series([[int(p)] for p in primary])
-        # multi-probe: flip the `probes` planes with smallest |projection|
-        order = np.argsort(np.abs(proj), axis=1)[:, :probes]
-        out = []
-        for row in range(mat.shape[0]):
-            keys = [int(primary[row])]
-            for plane in order[row]:
-                keys.append(int(primary[row] ^ np.int64(1) << np.int64(plane)))
-            out.append(keys)
-        return pd.Series(out)
+    rng = random.Random(seed)
+    return [
+        [1 if rng.random() < 0.5 else -1 for _ in range(dim)]
+        for _ in range(num_planes)
+    ]
 
-    return _buckets
+
+def srp_projections(vec: Column, planes: list) -> list:
+    """One signed-sum projection Column per plane: sequential fold of
+    ±v_d (float32-exact negation) into a double accumulator — the same
+    arithmetic a SQL ``list_sum`` over CASE'd casts performs."""
+    out = []
+    for plane in planes:
+        signs = F.array(*[F.lit(s) for s in plane])
+        signed = F.zip_with(vec, signs, lambda x, s: F.when(s > 0, x).otherwise(-x))
+        out.append(F.aggregate(signed, F.lit(0.0), lambda a, x: a + x))
+    return out
+
+
+def _srp_bucket_cols(vec: Column, planes: list, probes: int):
+    """(primary bucket, probe-bucket array) as Catalyst expressions.
+    Multi-probe flips the ``probes`` planes with smallest |projection|
+    (ties broken by plane index — array_sort on (|proj|, plane) structs)."""
+    num_planes = len(planes)
+    projs = srp_projections(vec, planes)
+    primary = None
+    for p, proj in enumerate(projs):
+        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        primary = bit if primary is None else primary + bit
+    if probes <= 0:
+        return primary, F.array(primary)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(proj).alias("a"), F.lit(p).alias("p"))
+                for p, proj in enumerate(projs)
+            ]
+        )
+    )
+    powers = F.array(*[F.lit(1 << p).cast("long") for p in range(num_planes)])
+    buckets = [primary]
+    for i in range(probes):
+        flip = F.element_at(powers, F.element_at(ranked, i + 1)["p"] + 1)
+        buckets.append(primary.bitwiseXOR(flip))
+    return primary, F.array(*buckets)
 
 
 def lsh_topk(
@@ -100,21 +131,24 @@ def lsh_topk(
     dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: items keyed by primary bucket,
-    queries probe primary + flipped buckets, exact cosine re-score."""
+    queries probe primary + flipped buckets, exact cosine re-score.
+    Buckets are sign-random-projection keys over Rademacher planes —
+    pure Catalyst expressions, no Python worker (and SQL-oracle-exact)."""
     if dim is None:
         dim = len(items.select(vec_col).first()[0])
-    item_buckets = hyperplane_buckets_udf(dim, num_planes, seed, probes=0)
-    query_buckets = hyperplane_buckets_udf(dim, num_planes, seed, probes=probes)
+    planes = rademacher_planes(num_planes, dim, seed)
+    item_primary, _ = _srp_bucket_cols(F.col(vec_col), planes, probes=0)
+    _, query_buckets = _srp_bucket_cols(F.col(vec_col), planes, probes=probes)
 
     it = items.select(
         F.col(item_id).alias("__iid"),
         F.col(vec_col).alias("__iv"),
-        F.explode(item_buckets(F.col(vec_col))).alias("bucket"),
+        item_primary.alias("bucket"),
     )
     qs = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(vec_col).alias("__qv"),
-        F.explode(query_buckets(F.col(vec_col))).alias("bucket"),
+        F.explode(query_buckets).alias("bucket"),
     )
     cands = (
         it.join(F.broadcast(qs), "bucket")
