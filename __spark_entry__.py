@@ -30,6 +30,18 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _resplit(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Re-split ONLY when the scan has fewer splits than the cluster has
+    slots (the whole table is 1-4 parquet splits at test scale factors,
+    which would serialize downstream gram/explode stages).  At production
+    split counts this is a no-op — an unconditional repartition would
+    instead add a full-corpus shuffle and coalesce DOWN."""
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -182,20 +194,14 @@ def distinct_users_exact(spark, sf_dir):
 def _doc_tokens(spark, sf_dir):
     from pprl_spark.spark.stats import with_tokens
 
-    # re-split: the documents table is a single parquet split at test
-    # scales, which would serialize the tokenize/explode stage on one core
-    docs = _load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return with_tokens(docs, "text", q=2, padding="_")
+    return with_tokens(_resplit(_load(spark, sf_dir, "documents"), spark),
+                       "text", q=2, padding="_")
 
 
 def token_frequencies(spark, sf_dir):
     from pprl_spark.spark.stats import token_frequencies as tf
 
-    docs = _load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _resplit(_load(spark, sf_dir, "documents"), spark)
     return tf(docs.select("text"), "text", q=2, padding="_")
 
 
@@ -463,12 +469,7 @@ def minhash_dedup_pairs(spark, sf_dir):
 def simhash_dup_pairs(spark, sf_dir):
     from pprl_spark.spark.dedup import simhash_pairs
 
-    # explicit re-split: the whole documents table is one parquet split at
-    # these scales, which would serialize the gram/md5 stage on one core —
-    # a small-input artifact (at production scale file count >> cores)
-    docs = _load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _resplit(_load(spark, sf_dir, "documents"), spark)
     # 8 chunks of 8 bits: pigeonhole guarantees recall for hamming <= 7,
     # so the <= 6 threshold is exact (ADVICE r1); pushing it into
     # simhash_pairs applies it before the pair dedup
@@ -1068,7 +1069,10 @@ SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM (
 def _sql_minhash_pairs(q: int = 5, num_hashes: int = 128, bands: int = 16,
                        threshold: float = 0.8) -> str:
     """Mirror of dedup.minhash_lsh_pairs + jaccard_verify: one md5 per
-    gram → (h1, h2|1) 32-bit lanes → derived family h_j = h1 + j·h2 →
+    gram → (h1, h2) halves mod 2^31-1 → derived family
+    h_j = (a_j·h1 + b_j·h2 + j) mod 2^31-1 with independent per-j random
+    coefficients (shared via dedup.minhash_coefficients; a shared-slope
+    family like h1 + j·h2 correlates whole bands — see BENCH.md #10) →
     per-doc minima → md5 band buckets → candidate self-join → exact
     q-gram Jaccard ≥ threshold."""
     from pprl_spark.spark.dedup import _MERSENNE31, minhash_coefficients

@@ -87,7 +87,17 @@ def _cmd_match(args, spark) -> None:
 
     cfg = load_json_config(args.config, "match")
     lsh = _parse_lsh(args.lsh) if args.lsh else None
-    files = {os.path.basename(p): read_bit_vector_csv(spark, p) for p in args.vectors}
+    # label files by basename for readable output columns, but fall back to
+    # the full path when basenames collide (two parties exporting the same
+    # filename must not silently collapse into one input)
+    basenames = [os.path.basename(p) for p in args.vectors]
+    use_full = len(set(basenames)) != len(basenames)
+    files = {
+        (p if use_full else os.path.basename(p)): read_bit_vector_csv(spark, p)
+        for p in args.vectors
+    }
+    if len(files) != len(args.vectors):
+        raise ValueError("duplicate vector file paths given to match")
     if len(files) == 1:
         # single file → self-match, reference's one-file crosswise product
         (name, df), = files.items()

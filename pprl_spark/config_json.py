@@ -128,6 +128,12 @@ def _hardener_to(h: HardenerConfig) -> dict:
 
 def _attribute_from(obj: dict):
     if "weight" in obj or "average_token_count" in obj:
+        if "weight" not in obj or "average_token_count" not in obj:
+            raise ValueError(
+                f"weighted attribute config for "
+                f"`{obj.get('attribute_name', '?')}` requires both `weight` "
+                f"and `average_token_count`"
+            )
         return WeightedAttributeConfig(
             attribute_name=obj["attribute_name"],
             weight=obj["weight"],
@@ -249,7 +255,10 @@ def _transformer_to(spec: TransformerSpec) -> dict:
 
 def transform_config_from_json(data) -> TransformConfig:
     obj = _as_obj(data)
-    cfg = obj.get("config", {})
+    # envelope shape carries the empty_value policy under "config"; the
+    # bare-config shape carries it at top level — falling back to {} here
+    # would silently downgrade an explicit "error" policy to "ignore"
+    cfg = obj.get("config", obj)
     global_t = obj.get("global_transformers", {})
     return TransformConfig(
         empty_value=cfg.get("empty_value", "ignore"),

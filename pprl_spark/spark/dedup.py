@@ -289,43 +289,52 @@ def simhash_fingerprints(
         F.explode(qgram_raw_windows(F.col(text_col), q)).alias("__t"),
     ).dropDuplicates(["__id", "__t"])
     # one md5 per gram, two conv() string→int conversions; everything after
-    # is integer arithmetic.  The 64 per-bit vote counters are PACKED four
-    # to a long (15-bit lanes, max 32767 grams/doc — far above any real
-    # document's distinct-gram count) so the aggregate has 17 output
-    # fields, safely inside whole-stage codegen's 100-field limit; a naive
+    # is integer arithmetic.  The 64 per-bit vote counters are PACKED
+    # three to a long (21-bit lanes → safe to 2,097,151 distinct grams
+    # per document, i.e. multi-megabyte pages; beyond that the lane sums
+    # would carry and corrupt neighbors) so the aggregate has 23 output
+    # fields, safely inside whole-stage codegen's field limit; a naive
     # 64-sum aggregate falls back to the interpreted path and ran ~6x
     # slower at sf0.1.
+    lane_bits, lanes_per_col = 21, 3
+    n_cols = (64 + lanes_per_col - 1) // lanes_per_col
     halves = grams.select("__id", F.md5("__t").alias("__hx")).select(
         "__id",
         F.conv(F.substring("__hx", 1, 8), 16, 10).cast("long").alias("__h32"),
         F.conv(F.substring("__hx", 9, 8), 16, 10).cast("long").alias("__l32"),
     )
 
-    def nib(n):
-        """Nibble n (0..15) of the digest's first 16 hex chars."""
+    def digest_bit(j):
+        """Bit j (0..63, MSB-first over the hex string) of the digest:
+        nibble j//4 at in-nibble position 3-(j%4)."""
+        n = j // 4
         src = F.col("__h32") if n < 8 else F.col("__l32")
-        return F.shiftright(src, 4 * (7 - n % 8)).bitwiseAND(F.lit(15))
+        nib = F.shiftright(src, 4 * (7 - n % 8)).bitwiseAND(F.lit(15))
+        return F.shiftright(nib, 3 - (j % 4)).bitwiseAND(F.lit(1))
 
-    def lanes(n):
-        """Pack nibble n's four bits into 15-bit counting lanes:
-        lane t (t=j%4) counts bit (3-t) of the nibble."""
-        v = nib(n)
+    def packed_col(c):
+        """Bits j = c*lanes_per_col .. +lanes_per_col-1 in 21-bit lanes."""
         out = None
-        for t in range(4):
-            term = F.shiftright(v, 3 - t).bitwiseAND(F.lit(1)) * F.lit(1 << (15 * t)).cast("long")
+        for t in range(lanes_per_col):
+            j = c * lanes_per_col + t
+            if j >= 64:
+                break
+            term = digest_bit(j) * F.lit(1 << (lane_bits * t)).cast("long")
             out = term if out is None else out + term
         return out
 
     packed_votes = halves.select(
-        "__id", *[lanes(n).alias(f"p{n}") for n in range(16)]
+        "__id", *[packed_col(c).alias(f"p{c}") for c in range(n_cols)]
     )
     votes = packed_votes.groupBy("__id").agg(
         F.count(F.lit(1)).alias("__cnt"),
-        *[F.sum(f"p{n}").alias(f"S{n}") for n in range(16)],
+        *[F.sum(f"p{c}").alias(f"S{c}") for c in range(n_cols)],
     )
 
     def bit(j):
-        s = F.shiftright(F.col(f"S{j // 4}"), 15 * (j % 4)).bitwiseAND(F.lit(32767))
+        s = F.shiftright(
+            F.col(f"S{j // lanes_per_col}"), lane_bits * (j % lanes_per_col)
+        ).bitwiseAND(F.lit((1 << lane_bits) - 1))
         return F.when(s * 2 >= F.col("__cnt"), F.lit(1)).otherwise(F.lit(0))
 
     def packed(js):

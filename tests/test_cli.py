@@ -110,6 +110,29 @@ def test_cli_match_multi_file_all_pairs(spark, workdir):
     assert all(r["domain_id"] < r["range_id"] for r in self_rows)
 
 
+def test_cli_match_duplicate_basenames_use_full_paths(spark, workdir):
+    """Regression (r2 review): two parties exporting the same filename
+    must not collapse into a single-file self-match."""
+    for sub in ("siteA", "siteB"):
+        d = workdir / sub
+        d.mkdir()
+    cli.main(["mask", str(workdir / "mask.json"), str(workdir / "a.csv"),
+              str(workdir / "siteA" / "vectors.csv")])
+    cli.main(["mask", str(workdir / "mask.json"), str(workdir / "b.csv"),
+              str(workdir / "siteB" / "vectors.csv")])
+    out = workdir / "collide.csv"
+    cli.main(["match", str(workdir / "match.json"),
+              str(workdir / "siteA" / "vectors.csv"),
+              str(workdir / "siteB" / "vectors.csv"), str(out)])
+    rows = _read_csv(out)
+    labels = {(r["domain_file"], r["range_file"]) for r in rows}
+    # cross-file match with full-path labels, one pair of distinct files
+    assert len(labels) == 1
+    (df_label, rf_label), = labels
+    assert df_label != rf_label and "siteA" in df_label + rf_label
+    assert {(r["domain_id"], r["range_id"]) for r in rows} == {("a1", "b1")}
+
+
 def test_cli_estimate_writes_reference_shape(spark, workdir):
     out = workdir / "weights.json"
     cli.main(["estimate", str(workdir / "a.csv"), str(out), "-a", "name"])

@@ -122,6 +122,25 @@ def test_match_and_transform_config_round_trips():
     assert transform_config_from_json(transform_config_to_json(tc)) == tc
 
 
+def test_transform_config_bare_shape_keeps_empty_value():
+    """Regression (r2 review): the documented bare-config shape must not
+    silently downgrade an explicit empty_value policy."""
+    cfg = transform_config_from_json(
+        {"empty_value": "error",
+         "attribute_transformers": [
+             {"attribute_name": "a", "transformers": [{"name": "normalization"}]}
+         ]}
+    )
+    assert cfg.empty_value == "error"
+
+
+def test_weighted_attribute_json_requires_both_fields():
+    from pprl_spark.config_json import _attribute_from
+
+    with pytest.raises(ValueError, match="requires both"):
+        _attribute_from({"attribute_name": "a", "weight": 2.0})
+
+
 def test_weighted_attributes_json_round_trip():
     attrs = (
         WeightedAttributeConfig("text", weight=3.5, average_token_count=41.25),
