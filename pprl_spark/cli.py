@@ -98,6 +98,15 @@ def _cmd_match(args, spark) -> None:
     }
     if len(files) != len(args.vectors):
         raise ValueError("duplicate vector file paths given to match")
+    if cfg.method == "pairwise":
+        # reference pairwise: ≥2 files, rows zipped by file position
+        # (cli.py:182-184, 219-223); blocking doesn't apply to a zip
+        if len(files) < 2:
+            raise ValueError("pairwise matching requires at least two vector files")
+        if lsh is not None:
+            raise ValueError("--lsh does not apply to pairwise matching")
+        _write_single_csv(match_files(files, cfg), args.output)
+        return
     if len(files) == 1:
         # single file → self-match, reference's one-file crosswise product
         (name, df), = files.items()

@@ -200,13 +200,18 @@ class MaskConfig:
 
 @dataclass(frozen=True)
 class MatchConfig:
-    """Match stage config (model match.py:20-23)."""
+    """Match stage config (model match.py:20-23).  ``method`` mirrors the
+    reference ``MatchMethod`` enum (match.py:9-11): ``crosswise`` (full
+    product) or ``pairwise`` (positional zip of equal-length lists)."""
     measure: str = "dice"
     threshold: float = 0.7
+    method: str = "crosswise"
 
     def __post_init__(self):
         if self.measure not in _MEASURES:
             raise ValueError(f"unimplemented similarity measure `{self.measure}`")
+        if self.method not in ("crosswise", "pairwise"):
+            raise ValueError(f"unimplemented match method `{self.method}`")
         if not (0 <= self.threshold <= 1):
             raise ValueError("threshold must be in [0, 1]")
 

@@ -212,15 +212,24 @@ def weighted_attributes_from_json(data) -> tuple:
 # ----------------------------------------------------------------- match
 
 def match_config_from_json(data) -> MatchConfig:
+    """Parse the reference ``MatchConfig`` wire shape including ``method``
+    (pprl_model/match.py:20-23, default crosswise) — a reference user's
+    pairwise request file must dispatch to pairwise matching, not silently
+    run crosswise (ADVICE r2).  Unknown methods raise (MatchConfig
+    validates)."""
     obj = _as_obj(data)
     cfg = obj.get("config", obj)
-    return MatchConfig(measure=cfg["measure"], threshold=cfg["threshold"])
+    return MatchConfig(
+        measure=cfg["measure"],
+        threshold=cfg["threshold"],
+        method=cfg.get("method", "crosswise"),
+    )
 
 
-def match_config_to_json(cfg: MatchConfig, method: str = "crosswise",
-                         indent: "int | None" = None) -> str:
+def match_config_to_json(cfg: MatchConfig, indent: "int | None" = None) -> str:
     return json.dumps(
-        {"config": {"measure": cfg.measure, "threshold": cfg.threshold, "method": method}},
+        {"config": {"measure": cfg.measure, "threshold": cfg.threshold,
+                    "method": cfg.method}},
         indent=indent,
     )
 

@@ -330,6 +330,25 @@ def simhash_fingerprints(
         F.count(F.lit(1)).alias("__cnt"),
         *[F.sum(f"p{c}").alias(f"S{c}") for c in range(n_cols)],
     )
+    # runtime guard for the 21-bit lane capacity: a record with more than
+    # 2^21-1 distinct q-grams would carry into the neighboring vote lane
+    # and silently corrupt the fingerprint (ADVICE r2) — fail loudly with
+    # the offending id instead.  __cnt is already aggregated, so the guard
+    # costs one comparison per record, not per gram.
+    lane_cap = (1 << lane_bits) - 1
+    votes = votes.withColumn(
+        "__cnt",
+        F.when(
+            F.col("__cnt") > lane_cap,
+            F.raise_error(
+                F.concat(
+                    F.lit("simhash vote-lane overflow: record "),
+                    F.col("__id").cast("string"),
+                    F.lit(f" has more than {lane_cap} distinct q-grams"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__cnt")),
+    )
 
     def bit(j):
         s = F.shiftright(

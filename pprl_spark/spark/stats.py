@@ -42,10 +42,16 @@ def padded_qgram_tokens(col, q: int = 2, padding: str = "_"):
     col = F.col(col) if isinstance(col, str) else col
     pad = F.lit(padding * (q - 1))
     padded = F.concat(pad, col, pad)
-    # the when() guards sequence()'s descending-range behavior when the
-    # padded value is shorter than q (possible with empty padding):
-    # the reference tokenizer returns the empty set there
+    # NULL input short-circuits to NULL (not the empty array): aggregates
+    # like avg(size(tokens)) must EXCLUDE null rows, matching the former
+    # UDF tokenizer's semantics — an empty array would count them as 0
+    # tokens and shift estimated weights on nullable columns (ADVICE r2).
+    # The inner when() guards sequence()'s descending-range behavior when
+    # the padded value is shorter than q (possible with empty padding):
+    # the reference tokenizer returns the empty set there.
     return F.when(
+        col.isNull(), F.lit(None).cast("array<string>")
+    ).when(
         F.length(padded) >= q,
         F.array_distinct(
             F.transform(
@@ -66,7 +72,10 @@ def qgram_windows(col, q: int = 2, padding: str = "_"):
     col = F.col(col) if isinstance(col, str) else col
     pad = F.lit(padding * (q - 1))
     padded = F.concat(pad, col, pad)
+    # NULL input → NULL (explode drops it), mirroring padded_qgram_tokens
     return F.when(
+        col.isNull(), F.lit(None).cast("array<string>")
+    ).when(
         F.length(padded) >= q,
         F.transform(
             F.sequence(F.lit(1), F.length(padded) - (q - 1)),
