@@ -534,6 +534,28 @@ def multimodal_decode(spark, sf_dir):
     return feats.select("doc_id", "width", "height", "n_channels", "sha256")
 
 
+def multimodal_real_decode(spark, sf_dir):
+    """REAL image decode (VERDICT r2 #1): structurally valid PNG/JPEG
+    payloads are synthesized per doc_id (pprl_spark.fixtures — dimensions
+    and channel counts are pure arithmetic of the id), and the decoder
+    parses the actual binary headers (PNG IHDR / JPEG SOF) to recover
+    them.  The oracle recomputes the ground truth from the id arithmetic,
+    so a parser bug (endianness, offset, channel map) breaks the hash."""
+    from pprl_spark.fixtures import make_image_payloads
+    from pprl_spark.spark.multimodal import decode_image_features
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    payloads = make_image_payloads(docs)
+    # stage boundary between the two Python stages (payload synthesis and
+    # header decode): chained Arrow UDFs in one stage double the Python
+    # worker pool per core (BENCH.md r1)
+    payloads = payloads.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = decode_image_features(payloads, decoder="real")
+    return feats.select("doc_id", "format", "width", "height", "n_channels")
+
+
 def multimodal_frames(spark, sf_dir):
     """Frame-sampling plumbing over binary payloads (video-style byte-
     offset slices in the stub decoder)."""
@@ -742,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "embedding_dup_pairs": embedding_dup_pairs,
         "multimodal_decode": multimodal_decode,
+        "multimodal_real_decode": multimodal_real_decode,
         "multimodal_frames": multimodal_frames,
     }
 
@@ -1329,6 +1352,20 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dup_pairs": _sql_simhash_pairs(),
         "langid_documents": _sql_langid(),
         "multimodal_decode": _sql_multimodal(),
+        # ground truth for the REAL decoder: the payload builder's id
+        # arithmetic (fixtures.image_payload_row), independent of the
+        # binary parsing under test
+        "multimodal_real_decode": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+                   CAST(16 + doc_id % 240 AS INT) AS width,
+                   CAST(16 + (doc_id * 7) % 240 AS INT) AS height,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                             THEN (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END)
+                             ELSE (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END)
+                        END AS INT) AS n_channels
+            FROM documents
+        """,
         # corpus is ASCII (asserted in tests), so 1024-char substrings hash
         # the same bytes as the engine's payload byte slices
         "multimodal_frames": """

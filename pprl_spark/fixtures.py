@@ -17,7 +17,16 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["VOCAB", "page_row", "make_pages", "make_pages_local"]
+__all__ = [
+    "VOCAB",
+    "page_row",
+    "make_pages",
+    "make_pages_local",
+    "make_png_bytes",
+    "make_jpeg_bytes",
+    "image_payload_row",
+    "make_image_payloads",
+]
 
 _ACCENTED = ["müller", "björk", "façade", "jürgen", "zoë", "garçon", "über", "señor"]
 
@@ -88,3 +97,98 @@ def make_pages(spark: SparkSession, n: int, partitions: int | None = None) -> Da
 
 def make_pages_local(n: int) -> list[dict]:
     return [page_row(i) for i in range(n)]
+
+
+# --------------------------------------------------------- image payloads
+#
+# Structurally valid PNG / JPEG byte streams for exercising the REAL
+# multimodal decoder (spark/multimodal.py) without PIL in the container:
+# the PNG is a complete, spec-conformant file (signature, IHDR, zlib IDAT,
+# CRCs, IEND); the JPEG carries SOI → APP0/JFIF → SOF0 → EOI, which is the
+# full header stream the dimension parser consumes (no entropy-coded scan,
+# so it is not renderable — documented fixture limitation).
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def make_png_bytes(width: int, height: int, color_type: int = 2) -> bytes:
+    """Minimal complete PNG (8-bit, no interlace) filled with zero pixels."""
+    import struct
+    import zlib
+
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    row = b"\x00" + bytes(width * _PNG_CHANNELS[color_type])  # filter 0 + pixels
+    idat = zlib.compress(row * height)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg_bytes(
+    width: int, height: int, n_components: int = 3, progressive: bool = False
+) -> bytes:
+    """JPEG header stream: SOI → APP0(JFIF) → SOF0 (or SOF2) → EOI."""
+    import struct
+
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    )
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    comps = b"".join(
+        struct.pack("BBB", c + 1, 0x22 if c == 0 else 0x11, 0)
+        for c in range(n_components)
+    )
+    sof = sof_marker + struct.pack(
+        ">HBHHB", 8 + 3 * n_components, 8, height, width, n_components
+    ) + comps
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def image_payload_row(doc_id: int) -> dict:
+    """Deterministic mixed-format image payload for row ``doc_id``:
+    even ids → PNG, odd → JPEG; dimensions and channel counts are pure
+    arithmetic of the id (SQL-reproducible ground truth for the decoder
+    oracle).  Widths/heights reach 255 so both bytes of the big-endian
+    dimension fields are exercised."""
+    width = 16 + doc_id % 240
+    height = 16 + (doc_id * 7) % 240
+    if doc_id % 2 == 0:
+        color_type = 0 if doc_id % 4 == 0 else 2  # grayscale / truecolor
+        return {
+            "doc_id": doc_id,
+            "payload": make_png_bytes(width, height, color_type=color_type),
+        }
+    n_components = 1 if doc_id % 4 == 1 else 3
+    return {
+        "doc_id": doc_id,
+        "payload": make_jpeg_bytes(width, height, n_components=n_components),
+    }
+
+
+def make_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (doc_id, payload BINARY) via mapInPandas — the distributed
+    fixture feed for the real decoder."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame([image_payload_row(int(i)) for i in pdf[id_col]])
+
+    return df.select(id_col).mapInPandas(_gen, schema="doc_id long, payload binary")

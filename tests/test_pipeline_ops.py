@@ -178,10 +178,35 @@ def test_multimodal_decode_stub(spark):
     assert again[1]["embedding"] == feats[1]["embedding"]
 
 
-def test_multimodal_real_decoder_is_explicit_stub(spark):
-    df = spark.createDataFrame([(1, bytearray(b"z"))], "doc_id long, payload binary")
-    with pytest.raises(NotImplementedError, match="real image decoding"):
-        decode_image_features(df, decoder="real")
+def test_multimodal_real_decoder_parses_png_and_jpeg(spark):
+    from pprl_spark.fixtures import make_jpeg_bytes, make_png_bytes
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(make_png_bytes(320, 200, color_type=2))),
+            (2, bytearray(make_jpeg_bytes(640, 480, n_components=3))),
+            (3, bytearray(make_png_bytes(12, 999, color_type=0))),
+        ],
+        "doc_id long, payload binary",
+    )
+    feats = {r["doc_id"]: r for r in decode_image_features(df, decoder="real").collect()}
+    assert (feats[1]["format"], feats[1]["width"], feats[1]["height"], feats[1]["n_channels"]) == ("png", 320, 200, 3)
+    assert (feats[2]["format"], feats[2]["width"], feats[2]["height"], feats[2]["n_channels"]) == ("jpeg", 640, 480, 3)
+    assert (feats[3]["format"], feats[3]["width"], feats[3]["height"], feats[3]["n_channels"]) == ("png", 12, 999, 1)
+    # headers only — no raster decode, so no pixel-derived embedding
+    assert all(f["embedding"] is None for f in feats.values())
+
+
+def test_multimodal_real_decoder_gates_other_formats():
+    # video/audio/other image formats are the remaining honest gap
+    from pprl_spark.spark.multimodal import _real_image_features
+
+    with pytest.raises(NotImplementedError, match="video/audio"):
+        _real_image_features(b"GIF89a" + b"\x00" * 32)
+    with pytest.raises(ValueError, match="no SOF"):
+        _real_image_features(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
+    with pytest.raises(ValueError, match="IHDR"):
+        _real_image_features(b"\x89PNG\r\n\x1a\n" + b"\x00" * 24)
 
 
 def test_sample_frames(spark):

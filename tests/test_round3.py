@@ -180,6 +180,40 @@ def test_match_lsh_bucket_cap_has_no_sort(spark):
     assert "HashAggregate" in plan
 
 
+# ----------------------------------------------- real image header parsing
+
+def test_png_jpeg_header_parsers_golden():
+    """Builder→parser round trips over the dimension/channel space,
+    including >255 dims (both big-endian bytes live) and progressive
+    JPEG (SOF2)."""
+    from pprl_spark.fixtures import make_jpeg_bytes, make_png_bytes
+    from pprl_spark.spark.multimodal import parse_jpeg_header, parse_png_header
+
+    assert parse_png_header(make_png_bytes(256, 300, 2)) == (256, 300, 3)
+    assert parse_png_header(make_png_bytes(17, 19, 0)) == (17, 19, 1)
+    assert parse_png_header(make_png_bytes(1000, 2, 6)) == (1000, 2, 4)
+    assert parse_jpeg_header(make_jpeg_bytes(640, 480, 3)) == (640, 480, 3)
+    assert parse_jpeg_header(make_jpeg_bytes(300, 256, 1, progressive=True)) == (300, 256, 1)
+
+
+def test_png_fixture_is_structurally_valid():
+    """The PNG fixture must be a complete spec-conformant file: correct
+    chunk CRCs and a zlib IDAT whose decompressed size matches the
+    raster (height × (1 filter byte + width × channels))."""
+    import struct
+    import zlib
+
+    from pprl_spark.fixtures import make_png_bytes
+
+    b = make_png_bytes(20, 10, 2)
+    # IHDR CRC
+    assert struct.unpack(">I", b[29:33])[0] == zlib.crc32(b[12:29]) & 0xFFFFFFFF
+    ln = struct.unpack(">I", b[33:37])[0]
+    assert b[37:41] == b"IDAT"
+    assert len(zlib.decompress(b[41:41 + ln])) == 10 * (1 + 20 * 3)
+    assert b[-8:-4] == b"IEND"
+
+
 # ------------------------------------------------------- NULL token rows
 
 def test_avg_token_count_excludes_null_rows(spark):
