@@ -626,10 +626,9 @@ def transform_mapping(spark, sf_dir):
     return transform(cust, cfg, ["seg"])
 
 
-def pprl_mask_hardened(spark, sf_dir):
-    """CLK + full hardener chain (balance/permute/rule_90/xor_fold)."""
-    from pprl_spark.config import (CLKFilter, HardenerConfig, HashConfig,
-                                   HashFunctionConfig, MaskConfig)
+def _hardened_mask_query(spark, sf_dir, chain):
+    from pprl_spark.config import (CLKFilter, HashConfig, HashFunctionConfig,
+                                   MaskConfig)
     from pprl_spark.spark.mask import mask_b64
 
     docs = _load(spark, sf_dir, "documents").select(
@@ -641,14 +640,22 @@ def pprl_mask_hardened(spark, sf_dir):
         token_size=2,
         padding="_",
         prepend_attribute_name=False,
-        hardeners=(
-            HardenerConfig("balance"),
-            HardenerConfig("permute", seed=727),
-            HardenerConfig("rule_90"),
-            HardenerConfig("xor_fold"),
-        ),
+        hardeners=_hardener_cfgs(chain),
     )
     return mask_b64(docs, cfg, ["text"])
+
+
+def pprl_mask_hardened(spark, sf_dir):
+    """CLK + full hardener chain (balance/permute/rule_90/xor_fold)."""
+    return _hardened_mask_query(spark, sf_dir, _HARDENER_CHAIN)
+
+
+def pprl_mask_hardened_rr(spark, sf_dir):
+    """CLK + hardener chain INCLUDING randomized_response (VERDICT r2 #3):
+    the rr draw stream depends only on (seed, length), so the chain stays
+    affine over GF(2) and the basis-probe oracle covers it.  rehash is the
+    one data-dependent (non-affine) hardener — kernel goldens only."""
+    return _hardened_mask_query(spark, sf_dir, _HARDENER_CHAIN_RR)
 
 
 def pprl_mask_rbf(spark, sf_dir):
@@ -693,6 +700,61 @@ def pprl_mask_clkrbf(spark, sf_dir):
         ),
     )
     return mask_b64(docs, cfg, ["text", "lang"])
+
+
+_CHAINED_CONFIGS = (
+    ("chain_sha256_md5", ("sha256", "md5"), None),
+    ("hmac_sha256", ("sha256",), "s3cr3t-727"),
+)
+
+
+def _chained_sample_rows(n: int = 120) -> list:
+    """Pinned deterministic sample for the chained-digest oracle — a pure
+    function of the row index (VOCAB is itself seed-fixed), so the Spark
+    query and the oracle generator reconstruct identical inputs without
+    touching the parquet tables."""
+    from pprl_spark.fixtures import VOCAB
+
+    return [
+        (str(i), f"{VOCAB[(i * 7) % len(VOCAB)]} {VOCAB[(i * 13 + 5) % len(VOCAB)]}")
+        for i in range(n)
+    ]
+
+
+def _chained_mask_cfg(algorithms, key):
+    from pprl_spark.config import (CLKFilter, HashConfig, HashFunctionConfig,
+                                   MaskConfig)
+
+    return MaskConfig(
+        filter=CLKFilter(256, 4),
+        hash=HashConfig(HashFunctionConfig(tuple(algorithms), key), "double_hash"),
+        token_size=2,
+        padding="_",
+        prepend_attribute_name=False,
+    )
+
+
+def pprl_mask_chained(spark, sf_dir):
+    """Multi-stage digest chain (sha256→md5) + HMAC chain masks — the last
+    reference config axis without a driver signal (VERDICT r2 #4).
+    DuckDB 1.0 hashes VARCHAR only, so raw-digest-bytes chains are not
+    SQL-expressible; the oracle is a literal-VALUES relation generated by
+    the per-record kernel encoder (reference-golden-tested) over the same
+    pinned deterministic sample, while THIS side runs the full distributed
+    mask path — the driver row therefore verifies the distributed
+    execution (config serde, UDF batching, packing, wire b64) against the
+    kernel, the same probe-the-kernel precedent as the hardened/RBF
+    oracles."""
+    from pprl_spark.spark.mask import mask_b64
+
+    df = spark.createDataFrame(_chained_sample_rows(), "id string, name string")
+    out = None
+    for label, algorithms, key in _CHAINED_CONFIGS:
+        part = mask_b64(df, _chained_mask_cfg(algorithms, key), ["name"]).select(
+            F.lit(label).alias("cfg"), "id", "value"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def pprl_match_crosswise_sample(spark, sf_dir):
@@ -752,7 +814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_customer_membership": bloom_customer_membership,
         # PPRL stages (bit-exact; rows-only)
         "pprl_mask_documents": pprl_mask_documents,
+        "pprl_mask_chained": pprl_mask_chained,
         "pprl_mask_hardened": pprl_mask_hardened,
+        "pprl_mask_hardened_rr": pprl_mask_hardened_rr,
         "pprl_mask_rbf": pprl_mask_rbf,
         "pprl_mask_clkrbf": pprl_mask_clkrbf,
         "pprl_match_lsh": pprl_match_lsh,
@@ -884,26 +948,27 @@ def _int_list(values) -> str:
     return "[" + ", ".join(str(int(v)) for v in values) + "]"
 
 
-def _sql_mask_hardened() -> str:
-    """Hardened-mask oracle.  The chain balance → permute(727) → rule_90 →
-    xor_fold is an AFFINE transform over GF(2) whose matrix depends only
-    on the config: out = A·in ⊕ c.  The generator probes the ACTUAL
-    kernel chain (kernels/harden.py) with basis vectors to extract, per
-    output bit, its input taps and constant, verifies affinity on random
-    probes, and inlines them as literal arrays — the SQL then computes
-    each output bit as constant ⊕ parity(taps ∩ input set)."""
+def _sql_mask_hardened_chain(hardeners, m_in: int = 512, k: int = 5) -> str:
+    """Hardened-mask oracle generator for ANY affine hardener chain.
+
+    balance / permute / rule_90 / xor_fold are linear maps over GF(2);
+    randomized_response is affine too — its draw stream depends only on
+    (seed, length) (the reference re-seeds per vector, harden.py:59-85),
+    so each output position is either identity, const-0, or const-1
+    (VERDICT r2 #3).  The one data-dependent hardener is ``rehash``
+    (window bits seed the RNG, harden.py:132-166) — not affine, hence the
+    single hardener without a driver oracle (kernel goldens only).
+
+    The generator probes the ACTUAL kernel chain (kernels/harden.py) with
+    basis vectors to extract, per output bit, its input taps and constant,
+    VERIFIES affinity on random probes, and inlines them as literal
+    arrays — the SQL then computes each output bit as
+    constant ⊕ parity(taps ∩ input set)."""
     import numpy as np
 
-    from pprl_spark.config import HardenerConfig
     from pprl_spark.kernels.harden import build_hardener_chain
 
-    m_in = 512
-    chain = build_hardener_chain((
-        HardenerConfig("balance"),
-        HardenerConfig("permute", seed=727),
-        HardenerConfig("rule_90"),
-        HardenerConfig("xor_fold"),
-    ))
+    chain = build_hardener_chain(tuple(hardeners))
     zero = np.zeros(m_in, dtype=bool)
     const = chain(zero)
     m_out = const.shape[0]
@@ -926,7 +991,7 @@ def _sql_mask_hardened() -> str:
             taps_p.append(kbit)
     toks = (
         "SELECT CAST(doc_id AS VARCHAR) AS id, "
-        f"unnest({_sql_grams('text', 2)}) AS token, 5 AS k, {m_in} AS m FROM documents"
+        f"unnest({_sql_grams('text', 2)}) AS token, {k} AS k, {m_in} AS m FROM documents"
     )
     return f"""
 WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents)
@@ -946,6 +1011,35 @@ WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents)
   WHERE (co.c + coalesce(h.n, 0)) % 2 = 1
 )
 {_sql_pack_b64("outbits", (m_out + 7) // 8)}"""
+
+
+_HARDENER_CHAIN = (
+    ("balance", {}),
+    ("permute", {"seed": 727}),
+    ("rule_90", {}),
+    ("xor_fold", {}),
+)
+_HARDENER_CHAIN_RR = (
+    ("balance", {}),
+    ("randomized_response", {"seed": 97, "probability": 0.3}),
+    ("permute", {"seed": 13}),
+    ("rule_90", {}),
+    ("xor_fold", {}),
+)
+
+
+def _hardener_cfgs(chain):
+    from pprl_spark.config import HardenerConfig
+
+    return tuple(HardenerConfig(name, **kw) for name, kw in chain)
+
+
+def _sql_mask_hardened() -> str:
+    return _sql_mask_hardened_chain(_hardener_cfgs(_HARDENER_CHAIN))
+
+
+def _sql_mask_hardened_rr() -> str:
+    return _sql_mask_hardened_chain(_hardener_cfgs(_HARDENER_CHAIN_RR))
 
 
 def _sql_mask_rbf() -> str:
@@ -995,6 +1089,26 @@ WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents)
   FROM pos p JOIN samp s ON s.attr = p.attr AND s.probe = p.bit
 )
 {_sql_pack_b64("parentbits", (enc.m + 7) // 8)}"""
+
+
+def _sql_mask_chained() -> str:
+    """Expected b64 values from the per-record kernel encoder (see
+    pprl_mask_chained's docstring for why this is a literal-VALUES oracle)."""
+    from pprl_spark.kernels.encode import BloomEncoder
+
+    rows = _chained_sample_rows()
+    ids = [r[0] for r in rows]
+    names = [r[1] for r in rows]
+    values = []
+    for label, algorithms, key in _CHAINED_CONFIGS:
+        enc = BloomEncoder(_chained_mask_cfg(algorithms, key), ["name"])
+        for rid, b64 in zip(ids, enc.encode_batch_b64(ids, {"name": names})):
+            values.append(f"('{label}', '{rid}', '{b64}')")
+    return (
+        "SELECT cfg, id, value FROM (VALUES "
+        + ", ".join(values)
+        + ") AS t(cfg, id, value)"
+    )
 
 
 def _sql_flagship_sets_cte(where: str = "") -> str:
@@ -1340,8 +1454,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         # bit-exact PPRL stages (see _sql_clk_* helpers above)
         "pprl_mask_documents": _sql_mask_documents(),
+        "pprl_mask_chained": _sql_mask_chained(),
         "pprl_mask_clkrbf": _sql_mask_clkrbf(),
         "pprl_mask_hardened": _sql_mask_hardened(),
+        "pprl_mask_hardened_rr": _sql_mask_hardened_rr(),
         "pprl_mask_rbf": _sql_mask_rbf(),
         "pprl_match_lsh": _sql_match_lsh(),
         "pprl_match_crosswise_sample": _sql_match_crosswise(),
