@@ -16,7 +16,21 @@ Resume semantics, Spark-first:
   (a column) and ``num_chunks``; the runner processes hash-chunks of the
   input as independent checkpoints (``<stage>/chunk=<i>/``) and on resume
   skips completed chunks.  This is the "skip completed partitions" path
-  for multi-hour encode stages.
+  for multi-hour encode stages.  Two execution modes (``chunk_mode``):
+
+  - ``"single_pass"`` (default): ONE ``partitionBy`` write job covers all
+    missing chunks — one full input scan per (re)run regardless of
+    ``num_chunks`` (VERDICT r2 #2: the per-chunk loop re-scanned the
+    input ``num_chunks`` times, 64 full scans at 100 TB).  Per-chunk
+    ``_SUCCESS`` markers are stamped after the job commits, so a later
+    resume recomputes only unmarked chunks; the trade-off is that a crash
+    *mid-write* loses every chunk of that one job (Spark's commit
+    protocol discards uncommitted task output).
+  - ``"scan_per_chunk"``: one write job per chunk — ``num_chunks`` input
+    scans, but each chunk commits independently, so a crash mid-stage
+    loses at most one chunk.  Choose this when a stage is so expensive
+    (or the cluster so preemptible) that intra-job loss dominates the
+    extra scan IO.
 * **Lineage + metrics** — every stage writes ``lineage.json`` (input
   stages, config fingerprint, schema) and ``metrics.json`` (row count,
   wall seconds, per-Spark-partition row counts).
@@ -52,6 +66,13 @@ class Stage:
     config: dict = field(default_factory=dict)
     split_by: str | None = None
     num_chunks: int = 1
+    # execution detail, not part of the fingerprint: both modes produce
+    # identical chunk checkpoints, so flipping it must not invalidate them
+    chunk_mode: str = "single_pass"
+
+    def __post_init__(self):
+        if self.chunk_mode not in ("single_pass", "scan_per_chunk"):
+            raise ValueError(f"unknown chunk_mode `{self.chunk_mode}`")
 
     def config_fingerprint(self) -> str:
         return _fingerprint({"name": self.name, "config": self.config,
@@ -157,14 +178,38 @@ class Pipeline:
                 pending_path.write_text(json.dumps({"fp": lineage_fp}))
             out = stage.fn(self.spark, inputs)
             chunk_expr = F.pmod(F.xxhash64(F.col(stage.split_by)), F.lit(stage.num_chunks))
-            for chunk in range(stage.num_chunks):
-                if self._chunk_complete(stage, chunk):
-                    chunks_skipped += 1
-                    continue
-                out.filter(chunk_expr == chunk).write.mode("overwrite").parquet(
-                    str(self._data_dir(stage, chunk))
-                )
-                chunks_run += 1
+            missing = [
+                c for c in range(stage.num_chunks) if not self._chunk_complete(stage, c)
+            ]
+            chunks_skipped = stage.num_chunks - len(missing)
+            if stage.chunk_mode == "scan_per_chunk":
+                for chunk in missing:
+                    out.filter(chunk_expr == chunk).write.mode("overwrite").parquet(
+                        str(self._data_dir(stage, chunk))
+                    )
+                    chunks_run += 1
+            elif missing:
+                # single write job for ALL missing chunks: one input scan
+                # instead of num_chunks scans.  Clear uncommitted chunk
+                # dirs (data without our marker), write partitioned, then
+                # stamp per-chunk markers — markers are the commit record,
+                # so a crash between write and stamping just re-runs those
+                # chunks idempotently.
+                import shutil
+
+                for chunk in missing:
+                    cdir = self._data_dir(stage, chunk)
+                    if cdir.exists():
+                        shutil.rmtree(cdir)
+                chunked = out.withColumn("chunk", chunk_expr)
+                if missing != list(range(stage.num_chunks)):
+                    chunked = chunked.filter(F.col("chunk").isin(missing))
+                chunked.write.mode("append").partitionBy("chunk").parquet(str(data_dir))
+                for chunk in missing:
+                    cdir = self._data_dir(stage, chunk)
+                    cdir.mkdir(parents=True, exist_ok=True)  # chunk may be empty
+                    (cdir / "_SUCCESS").touch()
+                chunks_run = len(missing)
             result = self._read_stage_output(stage, data_dir)
         else:
             out = stage.fn(self.spark, inputs)
