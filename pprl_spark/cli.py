@@ -129,14 +129,46 @@ def _cmd_match(args, spark) -> None:
 
 
 def _cmd_estimate(args, spark) -> None:
+    import json
+
     from .config_json import weighted_attributes_to_json
-    from .io import read_entity_csv
     from .spark.stats import compute_attribute_stats
 
-    df = read_entity_csv(spark, args.entities, id_column=args.id_column)
-    attrs = args.attribute or [c for c in df.columns if c != "id"]
-    stats = compute_attribute_stats(df, attrs, q=args.token_size, padding=args.padding)
-    with open(args.output, "w") as fh:
+    if args.entities in ("gecko", "faker"):
+        # reference generator-driven flow: `estimate gecko|faker CONFIG OUT`
+        # (pprl_client cli.py:428-563) — the config file is the reference's
+        # own GeckoGeneratorConfig/FakerGeneratorConfig JSON shape
+        from .generator_configs import generators_from_config
+        from .spark.stats import estimate_weights
+
+        if args.generator_output is None:
+            raise ValueError(
+                f"usage: estimate {args.entities} GENERATOR_CONFIG.json OUTPUT.json"
+            )
+        config_path, output = args.output, args.generator_output
+        with open(config_path) as fh:
+            count, generators = generators_from_config(json.load(fh), args.entities)
+        transform_cfg = None
+        if args.base_transform_request_file_path:
+            from .config_json import load_json_config
+
+            transform_cfg = load_json_config(
+                args.base_transform_request_file_path, "transform"
+            )
+        stats = estimate_weights(
+            spark, generators, count,
+            q=args.token_size, padding=args.padding, transform_cfg=transform_cfg,
+        )
+    else:
+        from .io import read_entity_csv
+
+        if args.generator_output is not None:
+            raise ValueError("unexpected extra argument for CSV-driven estimate")
+        output = args.output
+        df = read_entity_csv(spark, args.entities, id_column=args.id_column)
+        attrs = args.attribute or [c for c in df.columns if c != "id"]
+        stats = compute_attribute_stats(df, attrs, q=args.token_size, padding=args.padding)
+    with open(output, "w") as fh:
         fh.write(weighted_attributes_to_json(stats, indent=2))
 
 
@@ -169,12 +201,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use Hamming-LSH blocking instead of crosswise")
     p.set_defaults(fn=_cmd_match)
 
-    p = sub.add_parser("estimate", help="estimate weighted attribute configs from data")
-    p.add_argument("entities")
-    p.add_argument("output")
+    p = sub.add_parser(
+        "estimate",
+        help="estimate weighted attribute configs from a CSV, or from a "
+             "reference gecko/faker generator config "
+             "(`estimate gecko CONFIG.json OUT.json`)",
+    )
+    p.add_argument("entities",
+                   help="entities CSV path, or the literal 'gecko'/'faker'")
+    p.add_argument("output",
+                   help="output JSON path (generator mode: the generator config path)")
+    p.add_argument("generator_output", nargs="?", default=None,
+                   help="generator mode only: output JSON path")
     p.add_argument("-a", "--attribute", action="append", default=None)
-    p.add_argument("--token-size", type=int, default=2)
-    p.add_argument("--padding", default="_")
+    p.add_argument("-q", "--token-size", type=int, default=2)
+    p.add_argument("-p", "--padding", default="_")
+    p.add_argument("--base-transform-request-file-path", default=None)
     p.add_argument("--id-column", default="id")
     p.set_defaults(fn=_cmd_estimate)
     return ap

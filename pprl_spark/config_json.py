@@ -200,8 +200,15 @@ def mask_config_to_json(cfg: MaskConfig, indent: "int | None" = None) -> str:
 
 def weighted_attributes_to_json(attrs, indent: "int | None" = None) -> str:
     """The reference ``estimate`` commands write the resulting weighted
-    attribute configs as a JSON list (cli.py:392-408) — same shape here."""
-    return json.dumps([_attribute_to(a) for a in attrs], indent=indent)
+    attribute configs as a JSON list with ``exclude_none=True``
+    (cli.py:405-408) — null salts are omitted, same shape here."""
+    out = []
+    for a in attrs:
+        obj = _attribute_to(a)
+        if obj.get("salt") is None:
+            obj.pop("salt", None)
+        out.append(obj)
+    return json.dumps(out, indent=indent)
 
 
 def weighted_attributes_from_json(data) -> tuple:

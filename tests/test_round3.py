@@ -180,6 +180,121 @@ def test_match_lsh_bucket_cap_has_no_sort(spark):
     assert "HashAggregate" in plan
 
 
+# --------------------------------------------- generator-driven estimate
+
+FAKER_CONFIG = {
+    "seed": 727,
+    "count": 400,
+    "locale": ["de_DE"],
+    "generators": [
+        {"function_name": "first_name_nonbinary", "attribute_name": "given_name"},
+        {"function_name": "last_name", "attribute_name": "last_name"},
+        {
+            "function_name": "random_element",
+            "attribute_name": "gender",
+            "args": {"elements": ["m", "f"]},
+        },
+        {"function_name": "postcode", "attribute_name": "postcode"},
+    ],
+}
+
+
+def test_cli_estimate_faker_config_runs_unmodified(spark, tmp_path):
+    """A reference FakerGeneratorConfig file drives the estimate flow
+    end-to-end (VERDICT r2 #10) and yields the reference output shape —
+    a JSON list of weighted attribute configs, null salts omitted."""
+    from pprl_spark import cli
+
+    (tmp_path / "faker.json").write_text(json.dumps(FAKER_CONFIG))
+    out = tmp_path / "weights.json"
+    cli.main(["estimate", "faker", str(tmp_path / "faker.json"), str(out)])
+    got = json.loads(out.read_text())
+    assert [a["attribute_name"] for a in got] == [
+        "given_name", "last_name", "gender", "postcode"
+    ]
+    for a in got:
+        assert set(a) == {"attribute_name", "weight", "average_token_count"}
+        assert a["weight"] > 0 and a["average_token_count"] > 0
+    # binary attribute has far lower entropy than a name attribute
+    by_name = {a["attribute_name"]: a for a in got}
+    assert by_name["gender"]["weight"] < by_name["given_name"]["weight"]
+
+
+def test_cli_estimate_gecko_frequency_table(spark, tmp_path):
+    """Gecko from_frequency_table draws from the ACTUAL csv when present,
+    frequency-weighted; multicolumn tables keep attributes jointly
+    consistent per row."""
+    from pprl_spark import cli
+
+    (tmp_path / "names.csv").write_text(
+        "given_name,gender,count\nanna,f,80\nbob,m,15\ncarol,f,5\n"
+    )
+    cfg = {
+        "seed": 11,
+        "count": 300,
+        "generators": [
+            {
+                "attribute_names": ["given_name", "gender"],
+                "function_name": "from_multicolumn_frequency_table",
+                "args": {
+                    "csv_file_path": str(tmp_path / "names.csv"),
+                    "value_columns": ["given_name", "gender"],
+                    "freq_column": "count",
+                },
+            },
+            {
+                "attribute_names": ["last_name"],
+                "function_name": "from_frequency_table",
+                "args": {
+                    "csv_file_path": str(tmp_path / "missing.csv"),  # fallback path
+                    "value_column": "last_name",
+                    "freq_column": "count",
+                },
+            },
+        ],
+    }
+    (tmp_path / "gecko.json").write_text(json.dumps(cfg))
+    out = tmp_path / "weights.json"
+    cli.main(["estimate", "gecko", str(tmp_path / "gecko.json"), str(out)])
+    got = {a["attribute_name"]: a for a in json.loads(out.read_text())}
+    assert set(got) == {"given_name", "gender", "last_name"}
+    assert all(a["average_token_count"] > 0 for a in got.values())
+
+
+def test_gecko_frequency_sampling_is_weighted_and_joint():
+    from pprl_spark.generator_configs import generators_from_config
+
+    cfg = {
+        "seed": 5,
+        "count": 2000,
+        "generators": [
+            {
+                "attribute_names": ["name", "gender"],
+                "function_name": "from_multicolumn_frequency_table",
+                "args": {
+                    "csv_file_path": "",  # filled below
+                    "value_columns": ["name", "gender"],
+                    "freq_column": "count",
+                },
+            }
+        ],
+    }
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as fh:
+        fh.write("name,gender,count\nanna,f,90\nbob,m,10\n")
+        path = fh.name
+    cfg["generators"][0]["args"]["csv_file_path"] = path
+    _, gens = generators_from_config(cfg, "gecko")
+    draws = [(gens["name"](i), gens["gender"](i)) for i in range(2000)]
+    # joint consistency: anna is always f, bob always m
+    assert set(draws) <= {("anna", "f"), ("bob", "m")}
+    frac_anna = sum(1 for d in draws if d[0] == "anna") / len(draws)
+    assert 0.85 <= frac_anna <= 0.95  # 90% weight, deterministic seed
+    # determinism across calls
+    assert [gens["name"](i) for i in range(50)] == [gens["name"](i) for i in range(50)]
+
+
 # ----------------------------------------------- real image header parsing
 
 def test_png_jpeg_header_parsers_golden():
