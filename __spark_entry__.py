@@ -466,6 +466,22 @@ def minhash_dedup_pairs(spark, sf_dir):
     )
 
 
+def dedup_components(spark, sf_dir):
+    """Pairs → canonical dedup GROUPS: the verified MinHash near-dup pairs
+    (same pipeline as minhash_dedup_pairs) become edges of an undirected
+    graph; alternating large-star/small-star (Kiveris et al., SoCC'14)
+    converges to (doc_id, component = min doc_id of its duplicate
+    cluster), singletons labeled with their own id.  The oracle replays
+    the same pair set and a recursive min-label propagation in SQL."""
+    from pprl_spark.spark.dedup import jaccard_verify, minhash_lsh_pairs
+    from pprl_spark.spark.graph import assign_components
+
+    docs = _load(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(docs, "doc_id", "text", q=5, num_hashes=128, bands=16)
+    pairs = jaccard_verify(cands, docs, "doc_id", "text", q=5, threshold=0.8)
+    return assign_components(docs, "doc_id", pairs.select("id_a", "id_b"))
+
+
 def simhash_dup_pairs(spark, sf_dir):
     from pprl_spark.spark.dedup import simhash_pairs
 
@@ -474,6 +490,35 @@ def simhash_dup_pairs(spark, sf_dir):
     # so the <= 6 threshold is exact (ADVICE r1); pushing it into
     # simhash_pairs applies it before the pair dedup
     return simhash_pairs(docs, "doc_id", "text", q=3, chunks=8, max_hamming=6)
+
+
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (smoothed sklearn-style idf),
+    deterministic tie-break on the term."""
+    from pyspark.sql import Window
+
+    from pprl_spark.spark.textstats import tf_idf_terms
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = tf_idf_terms(docs, "doc_id", "text")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf_idf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf",
+                F.round("tf_idf", 6).alias("tf_idf_6dp"), "rn")
+    )
+
+
+def bm25_query_scores(spark, sf_dir):
+    """Okapi BM25 of a fixed 3-term query against every matching doc."""
+    from pprl_spark.spark.textstats import bm25_scores
+
+    docs = _load(spark, sf_dir, "documents")
+    out = bm25_scores(docs, ["scan", "window", "column"], "doc_id", "text")
+    return out.select("doc_id", F.round("bm25", 6).alias("bm25_6dp"))
 
 
 def langid_documents(spark, sf_dir):
@@ -491,6 +536,23 @@ def ann_lsh_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     top = lsh_topk(emb, queries, k=3, num_planes=10, probes=4, dim=64)
+    return top.select(
+        "query_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine"), "rank"
+    )
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN (ann.ivf_topk): deterministic data-row centroids →
+    broadcast cell assignment (argmax dot, hash agg) → n_probe nearest
+    cells per query → exact cosine re-score within probed cells."""
+    from pprl_spark.spark.ann import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ivf_topk(emb, queries, k=3, centroid_stride=31,
+                   n_centroids=16, n_probe=4)
     return top.select(
         "query_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine"), "rank"
     )
@@ -535,12 +597,13 @@ def multimodal_decode(spark, sf_dir):
 
 
 def multimodal_real_decode(spark, sf_dir):
-    """REAL image decode (VERDICT r2 #1): structurally valid PNG/JPEG
-    payloads are synthesized per doc_id (pprl_spark.fixtures — dimensions
-    and channel counts are pure arithmetic of the id), and the decoder
-    parses the actual binary headers (PNG IHDR / JPEG SOF) to recover
-    them.  The oracle recomputes the ground truth from the id arithmetic,
-    so a parser bug (endianness, offset, channel map) breaks the hash."""
+    """REAL image decode (VERDICT r2 #1): structurally valid PNG / JPEG /
+    GIF / BMP payloads are synthesized per doc_id (pprl_spark.fixtures —
+    dimensions and channel counts are pure arithmetic of the id), and the
+    decoder parses the actual binary headers (PNG IHDR / JPEG SOF / GIF
+    screen descriptor / BMP DIB) to recover them.  The oracle recomputes
+    the ground truth from the id arithmetic, so a parser bug (endianness,
+    offset, channel map) breaks the hash."""
     from pprl_spark.fixtures import make_image_payloads
     from pprl_spark.spark.multimodal import decode_image_features
 
@@ -554,6 +617,27 @@ def multimodal_real_decode(spark, sf_dir):
     )
     feats = decode_image_features(payloads, decoder="real")
     return feats.select("doc_id", "format", "width", "height", "n_channels")
+
+
+def multimodal_audio(spark, sf_dir):
+    """REAL audio decode: complete PCM WAV payloads synthesized per doc_id
+    (sample rate / channels / bit depth / frame count are id arithmetic),
+    parsed back from the actual RIFF chunk walk (parse_wav_header)."""
+    from pprl_spark.fixtures import make_audio_payloads
+    from pprl_spark.spark.multimodal import decode_audio_features
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    payloads = make_audio_payloads(docs).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = decode_audio_features(payloads)
+    # duration as exact integer microseconds (floor) — a float duration
+    # column would hinge on round()-tie semantics across engines
+    return feats.select(
+        "doc_id", "format", "sample_rate", "n_channels",
+        "bits_per_sample", "n_frames",
+        F.expr("(n_frames * 1000000L) div sample_rate").alias("duration_us"),
+    )
 
 
 def multimodal_frames(spark, sf_dir):
@@ -656,6 +740,15 @@ def pprl_mask_hardened_rr(spark, sf_dir):
     affine over GF(2) and the basis-probe oracle covers it.  rehash is the
     one data-dependent (non-affine) hardener — kernel goldens only."""
     return _hardened_mask_query(spark, sf_dir, _HARDENER_CHAIN_RR)
+
+
+def pprl_mask_rehashed(spark, sf_dir):
+    """CLK + rule_90 → rehash → xor_fold chain.  rehash is the one
+    data-dependent hardener (window bits seed the RNG,
+    harden.py:132-166); its seed space is 2**window_size values, so the
+    oracle enumerates the seed→positions table (see _sql_mask_rehashed)
+    — every reference hardener now has a hash-green driver row."""
+    return _hardened_mask_query(spark, sf_dir, _HARDENER_CHAIN_REHASH)
 
 
 def pprl_mask_rbf(spark, sf_dir):
@@ -817,18 +910,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_mask_chained": pprl_mask_chained,
         "pprl_mask_hardened": pprl_mask_hardened,
         "pprl_mask_hardened_rr": pprl_mask_hardened_rr,
+        "pprl_mask_rehashed": pprl_mask_rehashed,
         "pprl_mask_rbf": pprl_mask_rbf,
         "pprl_mask_clkrbf": pprl_mask_clkrbf,
         "pprl_match_lsh": pprl_match_lsh,
         "pprl_match_crosswise_sample": pprl_match_crosswise_sample,
         # near-dup / ANN / text (rows-only where xxhash64/UDF-based)
         "minhash_dedup_pairs": minhash_dedup_pairs,
+        "dedup_components": dedup_components,
         "simhash_dup_pairs": simhash_dup_pairs,
         "langid_documents": langid_documents,
+        "tfidf_top_terms": tfidf_top_terms,
+        "bm25_query_scores": bm25_query_scores,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "embedding_dup_pairs": embedding_dup_pairs,
         "multimodal_decode": multimodal_decode,
         "multimodal_real_decode": multimodal_real_decode,
+        "multimodal_audio": multimodal_audio,
         "multimodal_frames": multimodal_frames,
     }
 
@@ -948,22 +1047,13 @@ def _int_list(values) -> str:
     return "[" + ", ".join(str(int(v)) for v in values) + "]"
 
 
-def _sql_mask_hardened_chain(hardeners, m_in: int = 512, k: int = 5) -> str:
-    """Hardened-mask oracle generator for ANY affine hardener chain.
+def _affine_probe(hardeners, m_in: int):
+    """Probe the kernel hardener chain with GF(2) basis vectors.
 
-    balance / permute / rule_90 / xor_fold are linear maps over GF(2);
-    randomized_response is affine too — its draw stream depends only on
-    (seed, length) (the reference re-seeds per vector, harden.py:59-85),
-    so each output position is either identity, const-0, or const-1
-    (VERDICT r2 #3).  The one data-dependent hardener is ``rehash``
-    (window bits seed the RNG, harden.py:132-166) — not affine, hence the
-    single hardener without a driver oracle (kernel goldens only).
-
-    The generator probes the ACTUAL kernel chain (kernels/harden.py) with
-    basis vectors to extract, per output bit, its input taps and constant,
-    VERIFIES affinity on random probes, and inlines them as literal
-    arrays — the SQL then computes each output bit as
-    constant ⊕ parity(taps ∩ input set)."""
+    Returns (taps_j, taps_p, const, m_out): output bit j equals
+    const[j] ⊕ parity of input bits p with (j, p) in the taps list.
+    Asserts affinity on random inputs, so a non-affine chain can never
+    silently produce a wrong oracle."""
     import numpy as np
 
     from pprl_spark.kernels.harden import build_hardener_chain
@@ -989,6 +1079,113 @@ def _sql_mask_hardened_chain(hardeners, m_in: int = 512, k: int = 5) -> str:
         for j in np.nonzero(cols[kbit])[0]:
             taps_j.append(int(j))
             taps_p.append(kbit)
+    return taps_j, taps_p, const, m_out
+
+
+def _sql_affine_layer(tag: str, in_rel: str, taps_j, taps_p, const) -> str:
+    """CTE block applying an affine GF(2) map to a set-bit relation
+    ``in_rel(id, bit)``, producing ``bits_{tag}(id, bit)``."""
+    m_out = const.shape[0]
+    return f"""
+, taps_{tag} AS (SELECT unnest({_int_list(taps_j)}) AS j, unnest({_int_list(taps_p)}) AS p)
+, consts_{tag} AS (SELECT unnest(range(0, {m_out})) AS j,
+                          unnest({_int_list(const.astype(int))}) AS c)
+, hits_{tag} AS (
+  SELECT b.id, t.j, count(*) AS n
+  FROM {in_rel} b JOIN taps_{tag} t ON t.p = b.bit
+  GROUP BY b.id, t.j
+), bits_{tag} AS (
+  SELECT d.id, co.j AS bit
+  FROM docs d
+  CROSS JOIN consts_{tag} co
+  LEFT JOIN hits_{tag} h ON h.id = d.id AND h.j = co.j
+  WHERE (co.c + coalesce(h.n, 0)) % 2 = 1
+)"""
+
+
+def _sql_rehash_layer(tag: str, in_rel: str, m: int, window_size: int,
+                      window_step: int, samples: int) -> str:
+    """CTE block applying the reference ``rehash`` hardener
+    (harden.py:132-166) to a set-bit relation ``in_rel(id, bit)``.
+
+    rehash is the one DATA-DEPENDENT hardener: each window of
+    ``window_size`` bits, packed MSB-first and read as a little-endian
+    int32, seeds ``random.Random``; ``samples`` draws of ``randrange(m)``
+    are OR-ed into the vector.  But the seed space is only
+    2**window_size values, so the full seed→positions map is enumerable
+    at oracle-build time and inlined as a literal lookup table — the SQL
+    computes each window's seed from the set bits (bit t of a window
+    weighs 2**(7 - t%8 + 8*(t//8)), exactly packbits+'<i') and joins the
+    table."""
+    import random
+
+    assert window_size <= 16, "lookup table is 2**window_size entries"
+    starts = list(range(0, m - window_size + 1, window_step))
+    tab_v: list[int] = []
+    tab_j: list[int] = []
+    for v in range(1 << window_size):
+        rng = random.Random(v)
+        drawn = {rng.randrange(m) for _ in range(samples)}
+        for j in sorted(drawn):
+            tab_v.append(v)
+            tab_j.append(j)
+    return f"""
+, wins_{tag} AS (SELECT unnest({_int_list(starts)}) AS start)
+, rtab_{tag} AS (SELECT unnest({_int_list(tab_v)}) AS v, unnest({_int_list(tab_j)}) AS j)
+, winv_{tag} AS (
+  SELECT d.id, w.start,
+         coalesce(sum(1 << CAST(7 - ((b.bit - w.start) % 8)
+                                + 8 * ((b.bit - w.start) // 8) AS INT)), 0) AS v
+  FROM docs d CROSS JOIN wins_{tag} w
+  LEFT JOIN {in_rel} b
+    ON b.id = d.id AND b.bit >= w.start AND b.bit < w.start + {window_size}
+  GROUP BY d.id, w.start
+), bits_{tag} AS (
+  SELECT id, bit FROM {in_rel}
+  UNION
+  SELECT wv.id, t.j AS bit FROM winv_{tag} wv JOIN rtab_{tag} t ON t.v = wv.v
+)"""
+
+
+def _sql_mask_rehashed(m_in: int = 512, k: int = 5) -> str:
+    """Oracle for an affine-prefix → rehash → affine-suffix hardener
+    chain: rule_90 and xor_fold are basis-probed affine layers
+    (`_affine_probe`), the data-dependent rehash in between is the
+    enumerated seed-table layer (`_sql_rehash_layer`)."""
+    cfgs = _hardener_cfgs(_HARDENER_CHAIN_REHASH)
+    rh = cfgs[1]
+    taps_j1, taps_p1, const1, m1 = _affine_probe(cfgs[:1], m_in)
+    taps_j2, taps_p2, const2, m_out = _affine_probe(cfgs[2:], m1)
+    toks = (
+        "SELECT CAST(doc_id AS VARCHAR) AS id, "
+        f"unnest({_sql_grams('text', 2)}) AS token, {k} AS k, {m_in} AS m FROM documents"
+    )
+    return f"""
+WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents)
+{_sql_clk_pos_cte(toks)}
+{_sql_affine_layer('pre', 'pos', taps_j1, taps_p1, const1)}
+{_sql_rehash_layer('rh', 'bits_pre', m1, rh.window_size, rh.window_step, rh.samples)}
+{_sql_affine_layer('fin', 'bits_rh', taps_j2, taps_p2, const2)}
+{_sql_pack_b64("bits_fin", (m_out + 7) // 8)}"""
+
+
+def _sql_mask_hardened_chain(hardeners, m_in: int = 512, k: int = 5) -> str:
+    """Hardened-mask oracle generator for ANY affine hardener chain.
+
+    balance / permute / rule_90 / xor_fold are linear maps over GF(2);
+    randomized_response is affine too — its draw stream depends only on
+    (seed, length) (the reference re-seeds per vector, harden.py:59-85),
+    so each output position is either identity, const-0, or const-1
+    (VERDICT r2 #3).  The one data-dependent hardener is ``rehash``
+    (window bits seed the RNG, harden.py:132-166) — not affine, hence the
+    single hardener without a driver oracle (kernel goldens only).
+
+    The generator probes the ACTUAL kernel chain (kernels/harden.py) with
+    basis vectors to extract, per output bit, its input taps and constant,
+    VERIFIES affinity on random probes, and inlines them as literal
+    arrays — the SQL then computes each output bit as
+    constant ⊕ parity(taps ∩ input set)."""
+    taps_j, taps_p, const, m_out = _affine_probe(hardeners, m_in)
     toks = (
         "SELECT CAST(doc_id AS VARCHAR) AS id, "
         f"unnest({_sql_grams('text', 2)}) AS token, {k} AS k, {m_in} AS m FROM documents"
@@ -1024,6 +1221,11 @@ _HARDENER_CHAIN_RR = (
     ("randomized_response", {"seed": 97, "probability": 0.3}),
     ("permute", {"seed": 13}),
     ("rule_90", {}),
+    ("xor_fold", {}),
+)
+_HARDENER_CHAIN_REHASH = (
+    ("rule_90", {}),
+    ("rehash", {"window_size": 8, "window_step": 8, "samples": 2}),
     ("xor_fold", {}),
 )
 
@@ -1305,6 +1507,83 @@ SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
 """
 
 
+_SQL_WORDS = (
+    "SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),"
+    " x -> x <> '')) AS term FROM documents"
+)
+
+
+def _sql_tfidf_top_terms() -> str:
+    """Mirror of textstats.tf_idf_terms + top-3 window: smoothed idf
+    ln((N+1)/(df+1)) + 1, rank by (tf_idf DESC, term ASC)."""
+    return f"""
+WITH w AS ({_SQL_WORDS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1)) + 1) AS tf_idf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, tf_idf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf_idf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, round(tf_idf, 6) AS tf_idf_6dp, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+def _sql_bm25() -> str:
+    """Mirror of textstats.bm25_scores (k1=1.2, b=0.75, query =
+    scan/window/column), operation order matched to the Column
+    expression tree so doubles agree bit-for-bit before rounding."""
+    return f"""
+WITH w AS ({_SQL_WORDS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+st AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+q AS (SELECT doc_id, term FROM w WHERE term IN ('scan', 'window', 'column')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM q GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY term)
+SELECT doc_id,
+       round(sum(
+         (ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * CAST(2.2 AS DOUBLE))
+         / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+            + (CAST(0.75 AS DOUBLE) * dl) / avgdl))
+       ), 6) AS bm25_6dp
+FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+GROUP BY doc_id
+"""
+
+
+def _sql_dedup_components() -> str:
+    """Recursive min-label propagation over the SAME verified MinHash pair
+    set as `_sql_minhash_pairs` (embedded as a subquery): a label (origin
+    doc_id) walks every edge; because the component minimum m satisfies
+    m < v for every other member v, restricting propagation to
+    label < node keeps exactly the useful rows and UNION-dedup
+    terminates.  min(label) per node is the component minimum — the same
+    fixed point large-star/small-star converges to."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_sql_minhash_pairs()}) mh
+), epairs AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+), lab(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v AS node, l.label
+  FROM lab l JOIN epairs e ON e.u = l.node
+  WHERE l.label < e.v
+)
+SELECT node AS doc_id, min(label) AS component FROM lab GROUP BY node
+"""
+
+
 def _sql_ann_lsh_topk(num_planes: int = 10, probes: int = 4, k: int = 3,
                       dim: int = 64) -> str:
     """Mirror of ann.lsh_topk: Rademacher-plane SRP buckets (literal ±1
@@ -1362,6 +1641,53 @@ WITH scored AS (
 ), ranked AS (
   SELECT query_id, vec_id, cosv,
          row_number() OVER (PARTITION BY query_id ORDER BY cosv DESC, vec_id) AS rank
+  FROM cos
+)
+SELECT query_id, vec_id, round(cosv, 4) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _sql_ann_ivf_topk(centroid_stride: int = 31, n_centroids: int = 16,
+                      n_probe: int = 4, k: int = 3, dim: int = 64) -> str:
+    """Mirror of ann.ivf_topk: centroid rows by id rule, float32-product /
+    double-fold dots, argmax cell (ties → smaller centroid id), n_probe
+    cells per query, exact cosine re-score."""
+    dot = (
+        "list_sum([CAST(e.embedding[CAST(j AS INT)] * c.cv[CAST(j AS INT)]"
+        f" AS DOUBLE) FOR j IN range(1, {dim + 1})])"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id % {centroid_stride} = 0
+    AND vec_id < {n_centroids * centroid_stride}
+), idot AS (
+  SELECT e.vec_id AS iid, e.embedding AS iv, c.cid, {dot} AS d
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT iid, iv, cid FROM (
+    SELECT iid, iv, cid,
+           row_number() OVER (PARTITION BY iid ORDER BY d DESC, cid ASC) AS rn
+    FROM idot
+  ) WHERE rn = 1
+), qcells AS (
+  SELECT iid AS qid, iv AS qv, cid FROM (
+    SELECT iid, iv, cid,
+           row_number() OVER (PARTITION BY iid ORDER BY d DESC, cid ASC) AS rn
+    FROM idot WHERE iid < 5
+  ) WHERE rn <= {n_probe}
+), cos AS (
+  SELECT q.qid AS query_id, a.iid AS vec_id,
+         list_sum([CAST(a.iv[CAST(j AS INT)] * q.qv[CAST(j AS INT)] AS DOUBLE)
+                   FOR j IN range(1, {dim + 1})])
+         / sqrt(list_sum([CAST(x * x AS DOUBLE) FOR x IN a.iv])
+                * list_sum([CAST(x * x AS DOUBLE) FOR x IN q.qv])) AS cosv
+  FROM qcells q JOIN assigned a ON a.cid = q.cid
+), ranked AS (
+  SELECT query_id, vec_id, cosv,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosv DESC, vec_id) AS rank
   FROM cos
 )
 SELECT query_id, vec_id, round(cosv, 4) AS cosine, rank
@@ -1458,28 +1784,47 @@ def oracle_sql() -> dict[str, str]:
         "pprl_mask_clkrbf": _sql_mask_clkrbf(),
         "pprl_mask_hardened": _sql_mask_hardened(),
         "pprl_mask_hardened_rr": _sql_mask_hardened_rr(),
+        "pprl_mask_rehashed": _sql_mask_rehashed(),
         "pprl_mask_rbf": _sql_mask_rbf(),
         "pprl_match_lsh": _sql_match_lsh(),
         "pprl_match_crosswise_sample": _sql_match_crosswise(),
         # md5-derived / expression-level ops
         "ann_lsh_topk": _sql_ann_lsh_topk(),
+        "ann_ivf_topk": _sql_ann_ivf_topk(),
         "embedding_dup_pairs": _sql_embedding_dup_pairs(),
         "minhash_dedup_pairs": _sql_minhash_pairs(),
+        "dedup_components": _sql_dedup_components(),
         "simhash_dup_pairs": _sql_simhash_pairs(),
         "langid_documents": _sql_langid(),
+        "tfidf_top_terms": _sql_tfidf_top_terms(),
+        "bm25_query_scores": _sql_bm25(),
         "multimodal_decode": _sql_multimodal(),
         # ground truth for the REAL decoder: the payload builder's id
         # arithmetic (fixtures.image_payload_row), independent of the
         # binary parsing under test
         "multimodal_real_decode": """
             SELECT doc_id,
-                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+                   CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                                   WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
                    CAST(16 + doc_id % 240 AS INT) AS width,
                    CAST(16 + (doc_id * 7) % 240 AS INT) AS height,
-                   CAST(CASE WHEN doc_id % 2 = 0
-                             THEN (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END)
-                             ELSE (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END)
+                   CAST(CASE doc_id % 4
+                        WHEN 0 THEN (CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 3 END)
+                        WHEN 1 THEN (CASE WHEN doc_id % 8 = 1 THEN 1 ELSE 3 END)
+                        WHEN 2 THEN 3
+                        ELSE (CASE WHEN doc_id % 8 = 3 THEN 1 ELSE 3 END)
                         END AS INT) AS n_channels
+            FROM documents
+        """,
+        "multimodal_audio": """
+            SELECT doc_id, 'wav' AS format,
+                   CAST(8000 + (doc_id % 8) * 4000 AS INT) AS sample_rate,
+                   CAST(1 + doc_id % 2 AS INT) AS n_channels,
+                   CAST(CASE WHEN doc_id % 4 < 2 THEN 8 ELSE 16 END AS INT)
+                     AS bits_per_sample,
+                   CAST(100 + doc_id % 900 AS BIGINT) AS n_frames,
+                   CAST((100 + doc_id % 900) * 1000000
+                        // (8000 + (doc_id % 8) * 4000) AS BIGINT) AS duration_us
             FROM documents
         """,
         # corpus is ASCII (asserted in tests), so 1024-char substrings hash

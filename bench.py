@@ -211,27 +211,66 @@ def scaling_job(master: str, n_pages: int) -> dict:
     return out
 
 
+def _burn_throughput(procs: int, n: int = 3_000_000) -> float:
+    """Pure-CPU control (sha256 chain per process, zero coordination):
+    hashes/sec at ``procs`` concurrent processes.  This VM throttles
+    per-core throughput when all cores are busy (~30%, BENCH.md), so the
+    achievable N→4N scaling ceiling is BELOW 1.0 even for embarrassingly
+    parallel work — Spark efficiency is judged against this ceiling, not
+    against an ideal 4.0x."""
+    import multiprocessing as mp
+
+    t0 = time.monotonic()
+    with mp.Pool(procs) as pool:
+        pool.map(_mp_burn, [n] * procs)
+    wall = time.monotonic() - t0
+    return procs * n / wall
+
+
+def _mp_burn(k: int) -> float:
+    import hashlib
+
+    d = b"x" * 64
+    t0 = time.monotonic()
+    for _ in range(k):
+        d = hashlib.sha256(d).digest()
+    return time.monotonic() - t0
+
+
 def run_scaling(n_pages: int = 120_000, n_low: int = 8) -> dict:
-    """Same job at local[N] and local[4N] in separate (cold) subprocesses."""
+    """Same job at local[N] and local[4N] in separate (cold) subprocesses,
+    with an interleaved pure-CPU control at N and 4N processes measured in
+    the same window — efficiency is reported both raw and as a fraction of
+    the measured hardware ceiling (VERDICT r2 #9)."""
     low, high = f"local[{n_low}]", f"local[{n_low * 4}]"
     results = {}
-    # interleave and take the best of two runs per level: the sandbox VM
-    # shows ~30% run-to-run throughput noise (hypervisor steal), and
-    # min-of-k is the standard de-noising for wall-clock benchmarks
-    for master in (low, high, low, high):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--scaling-worker", master, str(n_pages)],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        run = json.loads(proc.stdout.strip().splitlines()[-1])
-        prev = results.get(master)
-        if prev is None or run["wall_sec"] < prev["wall_sec"]:
-            results[master] = run
+    ceil_thpt: dict[int, float] = {}
+    # interleave Spark runs and CPU controls, best-of-3 per level: the
+    # sandbox VM shows ~30% run-to-run throughput noise (hypervisor
+    # steal), and min-of-k / max-of-k is the standard de-noising for
+    # wall-clock benchmarks.  The low/high Spark runs stay ADJACENT inside
+    # each pass (so a steal window hits both or neither) and the CPU
+    # controls run at the end of the pass, never between the two Spark
+    # runs they normalize.
+    for _pass in range(3):
+        for master in (low, high):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--scaling-worker", master, str(n_pages)],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            run = json.loads(proc.stdout.strip().splitlines()[-1])
+            prev = results.get(master)
+            if prev is None or run["wall_sec"] < prev["wall_sec"]:
+                results[master] = run
+        for procs in (n_low, n_low * 4):
+            thpt = _burn_throughput(procs)
+            ceil_thpt[procs] = max(ceil_thpt.get(procs, 0.0), thpt)
     t_low = results[low]["wall_sec"]
     t_high = results[high]["wall_sec"]
     efficiency = round((t_low / t_high) / 4.0, 3)
+    cpu_ceiling = round(ceil_thpt[n_low * 4] / (4.0 * ceil_thpt[n_low]), 3)
     # estimates must be identical across parallelism levels (merge invariance)
     est_equal = (
         results[low]["distinct_urls_est"] == results[high]["distinct_urls_est"]
@@ -244,6 +283,10 @@ def run_scaling(n_pages: int = 120_000, n_low: int = 8) -> dict:
         "high": results[high],
         "speedup_n_to_4n": round(t_low / t_high, 3),
         "scaling_efficiency": efficiency,
+        "cpu_control_ceiling": cpu_ceiling,
+        "efficiency_vs_ceiling": round(min(efficiency / cpu_ceiling, 9.999), 3)
+        if cpu_ceiling
+        else None,
         "passes_north_rule_0_8": efficiency >= 0.8,
         "estimates_identical_across_parallelism": est_equal,
     }

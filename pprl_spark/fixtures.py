@@ -24,8 +24,13 @@ __all__ = [
     "make_pages_local",
     "make_png_bytes",
     "make_jpeg_bytes",
+    "make_gif_bytes",
+    "make_bmp_bytes",
+    "make_wav_bytes",
     "image_payload_row",
     "make_image_payloads",
+    "audio_payload_row",
+    "make_audio_payloads",
 ]
 
 _ACCENTED = ["müller", "björk", "façade", "jürgen", "zoë", "garçon", "über", "señor"]
@@ -160,25 +165,70 @@ def make_jpeg_bytes(
     return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
 
 
+def make_gif_bytes(width: int, height: int) -> bytes:
+    """Minimal complete GIF89a: logical screen descriptor + 2-entry global
+    palette + a single full-size image block (LZW minimum stub) + trailer."""
+    import struct
+
+    screen = struct.pack("<HHBBB", width, height, 0x80, 0, 0)  # 2-color GCT
+    palette = b"\x00\x00\x00\xff\xff\xff"
+    image = b"," + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    # LZW min code size 2, one sub-block holding clear+EOI codes, terminator
+    data = b"\x02\x02\x44\x01\x00"
+    return b"GIF89a" + screen + palette + image + data + b";"
+
+
+def make_bmp_bytes(width: int, height: int, bpp: int = 24) -> bytes:
+    """Minimal complete BMP (BITMAPINFOHEADER, bottom-up, zero pixels)."""
+    import struct
+
+    row_bytes = (width * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
+    pixels = b"\x00" * (row_bytes * height)
+    palette = b"" if bpp == 24 else b"\x00" * (4 * 256)  # 8-bpp needs a palette
+    offset = 14 + 40 + len(palette)
+    header = b"BM" + struct.pack("<IHHI", offset + len(pixels), 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0,
+                      len(pixels), 2835, 2835, 0, 0)
+    return header + dib + palette + pixels
+
+
+def make_wav_bytes(
+    sample_rate: int, n_channels: int, bits_per_sample: int, n_frames: int
+) -> bytes:
+    """Complete PCM WAV (RIFF/fmt /data) with zero samples."""
+    import struct
+
+    block_align = n_channels * bits_per_sample // 8
+    data = b"\x00" * (block_align * n_frames)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, bits_per_sample,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def image_payload_row(doc_id: int) -> dict:
     """Deterministic mixed-format image payload for row ``doc_id``:
-    even ids → PNG, odd → JPEG; dimensions and channel counts are pure
-    arithmetic of the id (SQL-reproducible ground truth for the decoder
-    oracle).  Widths/heights reach 255 so both bytes of the big-endian
-    dimension fields are exercised."""
+    id % 4 cycles PNG / JPEG / GIF / BMP; dimensions and channel counts
+    are pure arithmetic of the id (SQL-reproducible ground truth for the
+    decoder oracle).  Widths/heights reach 255 so both bytes of the
+    multi-byte dimension fields are exercised, in both endiannesses."""
     width = 16 + doc_id % 240
     height = 16 + (doc_id * 7) % 240
-    if doc_id % 2 == 0:
-        color_type = 0 if doc_id % 4 == 0 else 2  # grayscale / truecolor
-        return {
-            "doc_id": doc_id,
-            "payload": make_png_bytes(width, height, color_type=color_type),
-        }
-    n_components = 1 if doc_id % 4 == 1 else 3
-    return {
-        "doc_id": doc_id,
-        "payload": make_jpeg_bytes(width, height, n_components=n_components),
-    }
+    kind = doc_id % 4
+    if kind == 0:
+        color_type = 0 if doc_id % 8 == 0 else 2  # grayscale / truecolor
+        payload = make_png_bytes(width, height, color_type=color_type)
+    elif kind == 1:
+        payload = make_jpeg_bytes(width, height,
+                                  n_components=1 if doc_id % 8 == 1 else 3)
+    elif kind == 2:
+        payload = make_gif_bytes(width, height)
+    else:
+        payload = make_bmp_bytes(width, height, bpp=8 if doc_id % 8 == 3 else 24)
+    return {"doc_id": doc_id, "payload": payload}
 
 
 def make_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -190,5 +240,31 @@ def make_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             if pdf.empty:
                 continue
             yield pd.DataFrame([image_payload_row(int(i)) for i in pdf[id_col]])
+
+    return df.select(id_col).mapInPandas(_gen, schema="doc_id long, payload binary")
+
+
+def audio_payload_row(doc_id: int) -> dict:
+    """Deterministic WAV payload for row ``doc_id`` — all metadata fields
+    are pure arithmetic of the id (SQL-reproducible decoder ground truth)."""
+    return {
+        "doc_id": doc_id,
+        "payload": make_wav_bytes(
+            sample_rate=8000 + (doc_id % 8) * 4000,
+            n_channels=1 + doc_id % 2,
+            bits_per_sample=8 if doc_id % 4 < 2 else 16,
+            n_frames=100 + doc_id % 900,
+        ),
+    }
+
+
+def make_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (doc_id, payload BINARY) WAV fixture feed, distributed."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame([audio_payload_row(int(i)) for i in pdf[id_col]])
 
     return df.select(id_col).mapInPandas(_gen, schema="doc_id long, payload binary")

@@ -23,6 +23,7 @@ __all__ = [
     "rademacher_planes",
     "srp_projections",
     "lsh_topk",
+    "ivf_topk",
 ]
 
 
@@ -158,6 +159,92 @@ def lsh_topk(
     w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__iid"))
     return (
         cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__iid").alias(item_id),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def _dot_expr(a: Column, b: Column) -> Column:
+    """float32 products folded sequentially into a double accumulator —
+    the SQL-mirrorable arithmetic shared by every embedding op here."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    item_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 31,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions vectors into cells,
+    queries probe their ``n_probe`` nearest cells, exact cosine re-scores
+    within the probed cells.
+
+    Centroids are deterministic data rows (ids 0, stride, 2·stride, …) —
+    data-dependent like a trained quantizer but reproducible, so the cell
+    assignment is SQL-oracle-checkable.  At production scale a k-means
+    centroid table drops into the same broadcast shape unchanged.
+
+    Scale story: assignment is a broadcast cross join against C centroids
+    (N·C inner products map-side, no shuffle of vectors) followed by ONE
+    hash aggregation (``max_by`` — no window sort over the fact table);
+    per-query candidate work is proportional to probed-cell occupancy
+    (~n_probe·N/C), not N.
+    """
+    cents = F.broadcast(
+        items.where(
+            (F.col(item_id) % centroid_stride == 0)
+            & (F.col(item_id) < n_centroids * centroid_stride)
+        ).select(F.col(item_id).alias("__cid"), F.col(vec_col).alias("__cv"))
+    )
+    item_d = (
+        items.select(F.col(item_id).alias("__iid"), F.col(vec_col).alias("__iv"))
+        .crossJoin(cents)
+        .select(
+            "__iid", "__iv", "__cid",
+            _dot_expr(F.col("__iv"), F.col("__cv")).alias("__d"),
+        )
+    )
+    # argmax cell per item via max_by over (dot, -cid): one map-side-
+    # combined hash agg, ties to the smaller centroid id
+    assigned = item_d.groupBy("__iid").agg(
+        F.max_by(
+            "__cid", F.struct(F.col("__d").alias("d"), (-F.col("__cid")).alias("nc"))
+        ).alias("__cid"),
+        F.any_value("__iv").alias("__iv"),
+    )
+    q_d = (
+        queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv"))
+        .crossJoin(cents)
+        .select(
+            "__qid", "__qv", "__cid",
+            _dot_expr(F.col("__qv"), F.col("__cv")).alias("__d"),
+        )
+    )
+    wq = Window.partitionBy("__qid").orderBy(F.desc("__d"), F.asc("__cid"))
+    q_cells = (
+        q_d.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= n_probe)
+        .select("__qid", "__qv", "__cid")
+    )
+    scored = q_cells.join(assigned, "__cid").withColumn(
+        "cosine", cosine_expr(F.col("__iv"), F.col("__qv"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__iid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("__qid").alias(query_id),

@@ -1,0 +1,132 @@
+"""Connected components over candidate-pair edges — the pairs→groups step
+of a dedup pipeline (near-dup PAIRS are not deliverable; canonical GROUPS
+are).
+
+The reference engine stops at match pairs (routers/match.py); grouping is
+left to the caller.  At 10^12 documents the grouping itself is a
+distributed problem, so this module implements the alternating
+large-star / small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14): each round is two groupBy/join
+rounds over the edge list, converging in O(log n) rounds to a star
+forest where every node points at its component's minimum id.
+
+Scale notes: every step is a plain shuffle on node id (uniform after the
+first round because hubs collapse onto component minima); per-round
+``localCheckpoint`` truncates the lineage that iterative Spark plans
+otherwise accumulate (on a cluster, pass ``checkpoint=True`` with a
+``sparkContext.setCheckpointDir`` to make rounds durable instead of
+recompute-from-source on executor loss).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "assign_components"]
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("m")).select(
+        "u", F.least("m", F.col("u")).alias("m")
+    )
+    return (
+        nbrs.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Direct edges large→small; connect every smaller-or-equal neighbor
+    (and u itself) to the minimum of that in-neighborhood."""
+    d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    with_self = d.union(d.select("u", F.col("u").alias("v"))).distinct()
+    return (
+        with_self.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _signature(e: DataFrame) -> tuple:
+    """Cheap convergence fingerprint: (row count, xor of row hashes).
+    XOR is order-insensitive and cannot overflow (the edge set is
+    distinct, so xor over it is a faithful set signature)."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Edge list → (node, component) where component is the minimum node
+    id reachable from ``node``.  Covers every node that appears in an
+    edge (use :func:`assign_components` to also label singletons).
+
+    Converges when a large-star + small-star round leaves the edge set
+    unchanged; at that fixed point the edges are exactly
+    (node, component_min) stars.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # materialize the input once: each star round reads its edge set
+    # several times (both union branches + the min join), and without this
+    # the upstream pair pipeline (e.g. the whole MinHash banding) would be
+    # re-evaluated per branch in round 1
+    e = e.localCheckpoint(eager=True) if not checkpoint else e.checkpoint(eager=True)
+    sig = None
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e))
+        e = e.localCheckpoint(eager=True) if not checkpoint else e.checkpoint(eager=True)
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (expected O(log n))"
+        )
+    roots = e.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    return e.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
+        roots
+    ).distinct()
+
+
+def assign_components(
+    df: DataFrame,
+    id_col: str,
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    **cc_kwargs,
+) -> DataFrame:
+    """Label every row of ``df``: nodes in some edge get their component
+    minimum, singletons get their own id.  Output: (id_col, component)."""
+    comp = connected_components(edges, src=src, dst=dst, **cc_kwargs)
+    base = df.select(F.col(id_col).alias("__node"))
+    return (
+        base.join(comp, on=base["__node"] == comp["node"], how="left")
+        .select(
+            F.col("__node").alias(id_col),
+            F.coalesce("component", F.col("__node")).alias("component"),
+        )
+    )

@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame
 __all__ = [
     "parse_png_header",
     "parse_jpeg_header",
+    "parse_gif_header",
+    "parse_bmp_header",
+    "parse_wav_header",
     "decode_image_features",
+    "decode_audio_features",
     "sample_frames",
 ]
 
@@ -98,20 +102,98 @@ def parse_jpeg_header(payload: bytes) -> tuple[int, int, int]:
     raise ValueError("corrupt JPEG: no SOF frame header found")
 
 
+def parse_gif_header(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, 3) from the GIF logical screen descriptor: 6-byte
+    signature (GIF87a/GIF89a), then width/height as little-endian u16.
+    GIF frames are palette-indexed RGB, so channel count is reported as
+    3 (the raster's color space, not the index width)."""
+    if len(payload) < 10 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    width = int.from_bytes(payload[6:8], "little")
+    height = int.from_bytes(payload[8:10], "little")
+    return width, height, 3
+
+
+def parse_bmp_header(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from a BITMAPINFOHEADER BMP: 14-byte file
+    header ('BM', size, reserved, pixel offset), then the 40-byte DIB
+    header — width i32le at 18, height i32le at 22 (negative = top-down),
+    bits-per-pixel u16le at 28.  Channels = bpp // 8 for the common 8/24/
+    32-bpp cases (8-bpp is palette grayscale → 1)."""
+    if len(payload) < 30 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    dib_size = int.from_bytes(payload[14:18], "little")
+    if dib_size < 40:
+        raise ValueError(f"unsupported BMP DIB header size {dib_size}")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = abs(int.from_bytes(payload[22:26], "little", signed=True))
+    bpp = int.from_bytes(payload[28:30], "little")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    return width, height, bpp // 8
+
+
+def parse_wav_header(payload: bytes) -> dict:
+    """WAV (RIFF) metadata: walks the chunk list for ``fmt `` (PCM format,
+    channels, sample rate, block align, bits per sample) and ``data``
+    (frame count = chunk size // block align).  Pure stdlib — the sample
+    stream itself is not decoded."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt = None
+    n_frames = None
+    i = 12
+    n = len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and size >= 16:
+            body = payload[i + 8 : i + 24]
+            fmt = {
+                "audio_format": int.from_bytes(body[0:2], "little"),
+                "n_channels": int.from_bytes(body[2:4], "little"),
+                "sample_rate": int.from_bytes(body[4:8], "little"),
+                "block_align": int.from_bytes(body[12:14], "little"),
+                "bits_per_sample": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            n_frames = size  # block_align applied below once fmt is known
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or n_frames is None:
+        raise ValueError("corrupt WAV: missing fmt or data chunk")
+    if fmt["block_align"] == 0:
+        raise ValueError("corrupt WAV: zero block align")
+    n_frames //= fmt["block_align"]
+    return {
+        "n_channels": fmt["n_channels"],
+        "sample_rate": fmt["sample_rate"],
+        "bits_per_sample": fmt["bits_per_sample"],
+        "n_frames": n_frames,
+        "duration_sec": n_frames / fmt["sample_rate"] if fmt["sample_rate"] else 0.0,
+    }
+
+
 def _real_image_features(payload: bytes) -> dict:
-    """Header-parse decode for PNG/JPEG; other formats (video/audio/…) are
-    the remaining honest gap — they need real codec libraries."""
+    """Header-parse decode for PNG/JPEG/GIF/BMP; other formats (video,
+    exotic images) are the remaining honest gap — they need real codec
+    libraries."""
     if payload.startswith(_PNG_SIG):
         width, height, n_channels = parse_png_header(payload)
         fmt = "png"
     elif payload[0:2] == b"\xff\xd8":
         width, height, n_channels = parse_jpeg_header(payload)
         fmt = "jpeg"
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        width, height, n_channels = parse_gif_header(payload)
+        fmt = "gif"
+    elif payload[:2] == b"BM":
+        width, height, n_channels = parse_bmp_header(payload)
+        fmt = "bmp"
     else:
         raise NotImplementedError(
-            "real decode supports PNG and JPEG header parsing; video/audio "
-            "and other image formats need codec libraries (PIL/libvips/"
-            "ffmpeg) not present in this environment"
+            "real decode supports PNG/JPEG/GIF/BMP header parsing; video "
+            "and other formats need codec libraries (PIL/libvips/ffmpeg) "
+            "not present in this environment"
         )
     return {
         "format": fmt,
@@ -170,6 +252,52 @@ def decode_image_features(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(_decode, schema=_IMAGE_FEATURE_SCHEMA)
+
+
+_AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, format string, sample_rate int, n_channels int, "
+    "bits_per_sample int, n_frames long, duration_sec double, sha256 string"
+)
+
+
+def decode_audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Binary audio column → typed metadata rows via mapInPandas.
+
+    WAV (RIFF) headers are parsed in pure stdlib (``parse_wav_header``);
+    compressed codecs (mp3/ogg/flac) raise ``NotImplementedError`` — they
+    need real decoder libraries.  Same scale story as the image path:
+    embarrassingly parallel, payload never shuffled or collected."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                if payload[:4] != b"RIFF":
+                    raise NotImplementedError(
+                        "real audio decode supports WAV (RIFF) headers; "
+                        "compressed codecs need libraries not present here"
+                    )
+                meta = parse_wav_header(payload)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "format": "wav",
+                        "sha256": hashlib.sha256(payload).hexdigest(),
+                        **meta,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _decode, schema=_AUDIO_FEATURE_SCHEMA
+    )
 
 
 _FRAME_SCHEMA = "doc_id long, frame_idx int, frame_sha256 string"

@@ -21,6 +21,8 @@ __all__ = [
     "rolling_fingerprints",
     "lang_id_col",
     "with_text_stats",
+    "tf_idf_terms",
+    "bm25_scores",
 ]
 
 # A BPE-ish pre-tokenization: word pieces, numbers, and single punctuation
@@ -125,6 +127,93 @@ def lang_id_col(col: Column | str) -> Column:
     return F.when(
         col.isNull() | (col == "") | (best <= 0), F.lit("und")
     ).otherwise(pick)
+
+
+def _word_explode(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term) rows — whitespace words, empties dropped, duplicates
+    kept (term frequency is the point)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+        ).alias("term"),
+    )
+
+
+def tf_idf_terms(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-(doc, term) TF-IDF: tf = raw in-document count,
+    idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style).
+
+    Plan shape: one explode → (id, term) groupBy with map-side combine for
+    tf; term-keyed groupBy for df; the tiny (term, df) side broadcasts
+    back onto the tf rows; N is a scalar literal-ized via a 1-row
+    cross join (broadcast).  Two shuffles total, both on uniform keys —
+    the shape survives 100× scale (term df is vocabulary-sized, not
+    corpus-sized).
+    """
+    words = _word_explode(df, id_col, text_col)
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = words.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1)
+            ).alias("tf_idf"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 of a fixed query against every document.
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1-b+b·|d|/avgdl))
+    with idf(t) = ln(1 + (N-df+0.5)/(df+0.5)).  The query term list is a
+    broadcast literal; everything else is the same two-shuffle shape as
+    :func:`tf_idf_terms`.
+    """
+    words = _word_explode(df, id_col, text_col)
+    doclen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    qwords = words.where(F.col("term").isin(query_terms))
+    tf = qwords.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = qwords.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * (k1 + 1) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(term_score).alias("bm25"))
+    )
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

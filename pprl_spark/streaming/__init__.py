@@ -5,4 +5,8 @@ the same deterministic encode kernel over an unbounded source — the
 incremental-ingest shape for a continuously-crawled pages table.
 """
 
-from .encode_stream import streaming_mask, streaming_windowed_counts  # noqa: F401
+from .encode_stream import (  # noqa: F401
+    streaming_hll_by_key,
+    streaming_mask,
+    streaming_windowed_counts,
+)

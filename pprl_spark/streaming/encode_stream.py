@@ -1,4 +1,4 @@
-"""Streaming encode + windowed aggregation.
+"""Streaming encode + windowed aggregation + custom stateful sketches.
 
 ``streaming_mask``: readStream → mask UDF → BINARY bloom column.  The
 encode UDF is deterministic (seeded from broadcast config), so replays
@@ -8,17 +8,29 @@ exactly-once under Structured Streaming's checkpointed offsets.
 ``streaming_windowed_counts``: event-time tumbling-window counts with a
 watermark for late data — the streaming counterpart of the batch
 ``events_hourly`` query.
+
+``streaming_hll_by_key``: a CUSTOM STATEFUL operator via
+``applyInPandasWithState`` — a running HyperLogLog per key whose state is
+the serialized sketch.  Because HLL registers are a max-merge, the
+streaming state after any micro-batch split is BIT-IDENTICAL to the batch
+sketch over the same rows (the associativity property the batch layer
+tests across repartitions carries over to time-sliced arrival).
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..config import MaskConfig
+from ..sketch import HyperLogLog
 from ..spark.mask import mask
 
-__all__ = ["streaming_mask", "streaming_windowed_counts"]
+__all__ = ["streaming_mask", "streaming_windowed_counts", "streaming_hll_by_key"]
 
 
 def streaming_mask(
@@ -56,4 +68,56 @@ def streaming_windowed_counts(
             key_col,
             "n_events",
         )
+    )
+
+
+def streaming_hll_by_key(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Running per-key distinct-count sketch over a stream.
+
+    Values are hashed JVM-side (``xxhash64`` — only 8-byte hashes cross
+    the Arrow boundary, same as the batch sketch layer); per key, an
+    HLL(p) lives in the streaming state store as its serialized bytes and
+    is updated each micro-batch.  Emits (key, estimate, n_rows_seen,
+    sketch) in ``update`` mode after every batch.
+
+    State is bounded: |keys| × (2^p + header) bytes, independent of row
+    count — the property that lets this run forever on an unbounded
+    stream.  At cluster scale the state store shards by key hash across
+    executors exactly like a shuffle, so skewed key traffic is absorbed
+    by the per-key state granularity.
+    """
+    if not stream_df.isStreaming:
+        raise ValueError("streaming_hll_by_key expects a streaming DataFrame")
+    hashed = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.xxhash64(F.col(value_col).cast("string")).alias("__h"),
+    )
+    out_schema = "key string, estimate double, n_rows_seen long, sketch binary"
+    state_schema = "sketch binary, n_rows_seen long"
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            blob, seen = state.get
+            hll = HyperLogLog.deserialize(bytes(blob))
+        else:
+            hll, seen = HyperLogLog(p=p), 0
+        for pdf in pdfs:
+            hll.update(pdf["__h"].to_numpy())
+            seen += len(pdf)
+        blob = hll.serialize()
+        state.update((blob, seen))
+        yield pd.DataFrame(
+            [{"key": key[0], "estimate": hll.estimate(),
+              "n_rows_seen": seen, "sketch": blob}]
+        )
+
+    return hashed.groupBy("key").applyInPandasWithState(
+        _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )

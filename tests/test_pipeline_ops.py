@@ -198,11 +198,11 @@ def test_multimodal_real_decoder_parses_png_and_jpeg(spark):
 
 
 def test_multimodal_real_decoder_gates_other_formats():
-    # video/audio/other image formats are the remaining honest gap
+    # video / exotic image formats are the remaining honest gap
     from pprl_spark.spark.multimodal import _real_image_features
 
-    with pytest.raises(NotImplementedError, match="video/audio"):
-        _real_image_features(b"GIF89a" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError, match="codec"):
+        _real_image_features(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # WebP
     with pytest.raises(ValueError, match="no SOF"):
         _real_image_features(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
     with pytest.raises(ValueError, match="IHDR"):

@@ -1,0 +1,359 @@
+"""Round-3 additions: GIF/BMP/WAV header decode, rehash hardener oracle
+support, and the multimodal audio path."""
+
+import pytest
+
+
+# --------------------------------------------- GIF / BMP / WAV parsers
+
+def test_gif_header_parser_golden():
+    from pprl_spark.fixtures import make_gif_bytes
+    from pprl_spark.spark.multimodal import parse_gif_header
+
+    assert parse_gif_header(make_gif_bytes(300, 256)) == (300, 256, 3)
+    assert parse_gif_header(make_gif_bytes(1, 65535)) == (1, 65535, 3)
+    with pytest.raises(ValueError):
+        parse_gif_header(b"GIF00a" + b"\x00" * 8)
+
+
+def test_bmp_header_parser_golden():
+    from pprl_spark.fixtures import make_bmp_bytes
+    from pprl_spark.spark.multimodal import parse_bmp_header
+
+    assert parse_bmp_header(make_bmp_bytes(640, 480, 24)) == (640, 480, 3)
+    assert parse_bmp_header(make_bmp_bytes(17, 300, 8)) == (17, 300, 1)
+    with pytest.raises(ValueError):
+        parse_bmp_header(b"XX" + b"\x00" * 40)
+
+
+def test_bmp_top_down_height_is_absolute():
+    """Negative DIB height means top-down row order, not negative size."""
+    from pprl_spark.fixtures import make_bmp_bytes
+    from pprl_spark.spark.multimodal import parse_bmp_header
+
+    b = bytearray(make_bmp_bytes(10, 7, 24))
+    b[22:26] = (-7).to_bytes(4, "little", signed=True)
+    assert parse_bmp_header(bytes(b)) == (10, 7, 3)
+
+
+def test_wav_header_parser_golden():
+    from pprl_spark.fixtures import make_wav_bytes
+    from pprl_spark.spark.multimodal import parse_wav_header
+
+    meta = parse_wav_header(make_wav_bytes(44100, 2, 16, 1234))
+    assert meta == {
+        "n_channels": 2,
+        "sample_rate": 44100,
+        "bits_per_sample": 16,
+        "n_frames": 1234,
+        "duration_sec": 1234 / 44100,
+    }
+    with pytest.raises(ValueError):
+        parse_wav_header(b"RIFF\x00\x00\x00\x00JUNK")
+
+
+def test_wav_parser_walks_extra_chunks():
+    """A LIST chunk (odd-sized, so word-alignment padding is exercised)
+    before fmt/data must be skipped, as real recorders emit metadata."""
+    import struct
+
+    from pprl_spark.fixtures import make_wav_bytes
+    from pprl_spark.spark.multimodal import parse_wav_header
+
+    wav = make_wav_bytes(8000, 1, 8, 50)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+    patched = wav[:12] + extra + wav[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    meta = parse_wav_header(patched)
+    assert meta["n_frames"] == 50 and meta["sample_rate"] == 8000
+
+
+def test_image_payload_row_cycles_four_formats():
+    from pprl_spark.fixtures import image_payload_row
+    from pprl_spark.spark.multimodal import _real_image_features
+
+    for doc_id in range(16):
+        row = image_payload_row(doc_id)
+        feats = _real_image_features(row["payload"])
+        assert feats["format"] == ["png", "jpeg", "gif", "bmp"][doc_id % 4]
+        assert feats["width"] == 16 + doc_id % 240
+        assert feats["height"] == 16 + (doc_id * 7) % 240
+
+
+def test_decode_audio_features_spark(spark):  # noqa: F811
+    from pprl_spark.fixtures import audio_payload_row, make_audio_payloads
+    from pprl_spark.spark.multimodal import decode_audio_features
+
+    base = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    feats = decode_audio_features(make_audio_payloads(base)).collect()
+    assert len(feats) == 40
+    by_id = {r["doc_id"]: r for r in feats}
+    for i in (0, 3, 7, 13):
+        expected = audio_payload_row(i)
+        del expected  # ground truth is the id arithmetic below
+        assert by_id[i]["sample_rate"] == 8000 + (i % 8) * 4000
+        assert by_id[i]["n_channels"] == 1 + i % 2
+        assert by_id[i]["bits_per_sample"] == 8 if i % 4 < 2 else 16
+        assert by_id[i]["n_frames"] == 100 + i % 900
+        assert by_id[i]["format"] == "wav"
+
+
+def test_decode_audio_gates_compressed_codecs(spark):  # noqa: F811
+    from pprl_spark.spark.multimodal import decode_audio_features
+
+    df = spark.createDataFrame([(1, bytearray(b"ID3\x04fake-mp3"))],
+                               "doc_id long, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|RIFF|WAV"):
+        decode_audio_features(df).collect()
+
+
+# ------------------------------------- stateful streaming sketch operator
+
+def test_streaming_hll_state_is_bit_identical_to_batch(spark, tmp_path):
+    """The applyInPandasWithState running-HLL must carry state across
+    micro-batches: after two single-file triggers, each key's serialized
+    sketch equals the batch sketch over the union of both files (HLL
+    registers are max-merged, so time-sliced arrival is associativity)."""
+    from pyspark.sql import functions as F
+
+    from pprl_spark.sketch import HyperLogLog
+    from pprl_spark.streaming import streaming_hll_by_key
+
+    src = tmp_path / "src"
+    rows1 = [(f"k{i % 3}", f"v{i}") for i in range(60)]
+    rows2 = [(f"k{i % 3}", f"v{i}") for i in range(30, 90)]  # overlap 30-59
+    spark.createDataFrame(rows1, "key string, val string").coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    spark.createDataFrame(rows2, "key string, val string").coalesce(1) \
+        .write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("key string, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_hll_by_key(stream, "key", "val", p=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    updates = spark.sql("SELECT * FROM hll_updates").collect()
+    assert len(updates) >= 4  # ≥2 micro-batches × 3 keys (batches may merge)
+    final = {}
+    for r in updates:
+        if r["key"] not in final or r["n_rows_seen"] > final[r["key"]]["n_rows_seen"]:
+            final[r["key"]] = r
+
+    batch = spark.createDataFrame(rows1 + rows2, "key string, val string") \
+        .select("key", F.xxhash64(F.col("val").cast("string")).alias("h"))
+    for key in final:
+        hashes = [r["h"] for r in batch.where(F.col("key") == key).collect()]
+        hll = HyperLogLog(p=8)
+        hll.update(hashes)
+        assert bytes(final[key]["sketch"]) == hll.serialize()
+        assert final[key]["n_rows_seen"] == len(hashes)
+        exact = len({v for k2, v in rows1 + rows2 if k2 == key})
+        assert abs(final[key]["estimate"] - exact) <= 3 * hll.relative_error * exact
+
+
+def test_streaming_hll_rejects_batch_df(spark):
+    from pprl_spark.streaming import streaming_hll_by_key
+
+    df = spark.createDataFrame([("a", "b")], "key string, val string")
+    with pytest.raises(ValueError, match="expects a streaming DataFrame"):
+        streaming_hll_by_key(df, "key", "val")
+
+
+# ------------------------------------------------- connected components
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def test_connected_components_chain_and_star(spark):
+    from pprl_spark.spark.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    import random
+
+    from pprl_spark.spark.graph import connected_components
+
+    rng = random.Random(99)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _uf_components(n, edges)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    touched = {x for e in edges for x in e}
+    assert set(got) == touched
+    for node in touched:
+        assert got[node] == expected[node]
+
+
+def test_assign_components_labels_singletons(spark):
+    from pprl_spark.spark.graph import assign_components
+
+    docs = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame([(1, 5), (5, 2)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["component"]
+           for r in assign_components(docs, "doc_id", edges).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4, 5: 1, 6: 6, 7: 7}
+
+
+def test_connected_components_empty_edges(spark):
+    from pprl_spark.spark.graph import connected_components
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
+
+
+# ----------------------------------------------------------- TF-IDF/BM25
+
+def test_tfidf_terms_golden(spark):
+    import math
+
+    from pprl_spark.spark.textstats import tf_idf_terms
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b d"), (3, "a d")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["tf_idf"])
+           for r in tf_idf_terms(df).collect()}
+    def idf(dfq):
+        return math.log((3 + 1) / (dfq + 1)) + 1
+    assert got[(1, "a")] == (2, 2 * idf(2))
+    assert got[(1, "c")] == (1, 1 * idf(1))
+    assert got[(2, "b")] == (2, 2 * idf(2))
+    assert got[(3, "d")] == (1, 1 * idf(2))
+    assert len(got) == 7  # (1,a),(1,b),(1,c),(2,b),(2,d),(3,a),(3,d)
+
+
+def test_bm25_golden(spark):
+    import math
+
+    from pprl_spark.spark.textstats import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "x y x"), (2, "y z"), (3, "z z z z")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bm25"]
+           for r in bm25_scores(df, ["x", "z"]).collect()}
+    avgdl = 3.0
+    def score(tf, dfq, dl):
+        idf = math.log(1 + (3 - dfq + 0.5) / (dfq + 0.5))
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+    assert got[1] == pytest.approx(score(2, 1, 3))
+    assert got[2] == pytest.approx(score(1, 2, 2))
+    assert got[3] == pytest.approx(score(4, 2, 4))
+
+
+def test_tfidf_bm25_are_jvm_side(spark):
+    from pprl_spark.spark.textstats import bm25_scores, tf_idf_terms
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    for out in (tf_idf_terms(df), bm25_scores(df, ["a"])):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+# -------------------------------------------------------------- IVF ANN
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF with deterministic centroids must recover the brute-force
+    rank-1 neighbor for most queries (self is always in the probed cell
+    because the query IS an item here)."""
+    import random
+
+    from pprl_spark.spark.ann import brute_force_topk, ivf_topk
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    items = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = items.where("vec_id < 8").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in brute_force_topk(items, queries, k=1).collect()
+    }
+    approx = ivf_topk(items, queries, k=3, centroid_stride=17,
+                      n_centroids=12, n_probe=4).collect()
+    got = {}
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(1 for (q, rank), v in exact.items() if v in got.get(q, set()))
+    assert hits >= 6  # ≥75% rank-1 recall with 4/12 cells probed
+    # rank-1 of each query is itself (cosine 1.0) — must always be found
+    for q in got:
+        assert q in got[q]
+
+
+def test_ivf_topk_has_no_python_worker(spark):
+    from pprl_spark.spark.ann import ivf_topk
+
+    items = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = items.limit(2).selectExpr("vec_id AS query_id", "embedding")
+    plan = ivf_topk(items, queries, k=2, centroid_stride=7, n_centroids=4,
+                    n_probe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------- rehash oracle helpers
+
+def test_rehash_seed_table_matches_kernel():
+    """The oracle's enumerated seed→positions table must replay the kernel:
+    apply rehash to random vectors and check output equals input OR the
+    table positions of each window's byte value."""
+    import numpy as np
+
+    from pprl_spark.kernels.harden import rehash
+
+    m, ws, step, k = 512, 8, 8, 2
+    fn = rehash(ws, step, k)
+    import random as _random
+
+    table = {}
+    for v in range(256):
+        rng = _random.Random(v)
+        table[v] = {rng.randrange(m) for _ in range(k)}
+    rng = np.random.default_rng(42)
+    for _ in range(5):
+        bits = rng.random(m) < 0.3
+        out = fn(bits)
+        expected = bits.copy()
+        packed = np.packbits(bits)
+        for wi in range(0, (m - ws) // step + 1):
+            for j in table[int(packed[wi * step // 8])]:
+                expected[j] = True
+        assert np.array_equal(out, expected)
