@@ -492,6 +492,52 @@ def simhash_dup_pairs(spark, sf_dir):
     return simhash_pairs(docs, "doc_id", "text", q=3, chunks=8, max_hamming=6)
 
 
+def events_asof_purchase(spark, sf_dir):
+    """As-of (point-in-time) join: each event picks up the user's latest
+    purchase at-or-before its timestamp (spark/timeseries.asof_join —
+    union + keyed forward-fill window, not a range-join explosion).
+    Right side deduped to one row per (user, ts) so the match is
+    deterministic; oracle is DuckDB's native ASOF LEFT JOIN."""
+    from pprl_spark.spark.timeseries import asof_join
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event"),
+            F.max_by("value", "event_id").alias("p_value"),
+        )
+    )
+    out = asof_join(ev, purch, on="ts", by="user_id",
+                    value_cols=["p_event", "p_value"], tie_col="p_event")
+    # no-match sentinel (-1): NULL-bearing numeric columns compare as NaN
+    # on the DuckDB fetch side, so the driver row stays NULL-free
+    return out.select(
+        "event_id", "user_id",
+        F.coalesce("p_event_asof", F.lit(-1)).alias("last_purchase_id"),
+        F.coalesce("p_value_asof", F.lit(-1.0)).alias("last_purchase_value"),
+    )
+
+
+def events_sessionized(spark, sf_dir):
+    """Gap-based sessionization (30-minute inactivity window) rolled up
+    to per-session stats (spark/timeseries.sessionize — lag + running
+    sum windows, integer-microsecond gap arithmetic)."""
+    from pprl_spark.spark.timeseries import sessionize
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    s = sessionize(ev, by="user_id", ts_col="ts", gap="30 minutes",
+                   order_tie="event_id")
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 def tfidf_top_terms(spark, sf_dir):
     """Per-document top-3 TF-IDF terms (smoothed sklearn-style idf),
     deterministic tie-break on the term."""
@@ -920,6 +966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup_components,
         "simhash_dup_pairs": simhash_dup_pairs,
         "langid_documents": langid_documents,
+        "events_asof_purchase": events_asof_purchase,
+        "events_sessionized": events_sessionized,
         "tfidf_top_terms": tfidf_top_terms,
         "bm25_query_scores": bm25_query_scores,
         "ann_lsh_topk": ann_lsh_topk,
@@ -1507,6 +1555,38 @@ SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
 """
 
 
+_SQL_ASOF = """
+SELECT l.event_id, l.user_id,
+       coalesce(r.p_event, -1) AS last_purchase_id,
+       coalesce(r.p_value, -1.0) AS last_purchase_value
+FROM events l ASOF LEFT JOIN (
+  SELECT user_id, ts, max(event_id) AS p_event,
+         arg_max(value, event_id) AS p_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+) r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+_SQL_SESSIONS = """
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(CASE WHEN prev_us IS NULL
+                        OR epoch_us(ts) - prev_us > 1800000000
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM lagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 _SQL_WORDS = (
     "SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),"
     " x -> x <> '')) AS term FROM documents"
@@ -1796,6 +1876,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _sql_dedup_components(),
         "simhash_dup_pairs": _sql_simhash_pairs(),
         "langid_documents": _sql_langid(),
+        "events_asof_purchase": _SQL_ASOF,
+        "events_sessionized": _SQL_SESSIONS,
         "tfidf_top_terms": _sql_tfidf_top_terms(),
         "bm25_query_scores": _sql_bm25(),
         "multimodal_decode": _sql_multimodal(),

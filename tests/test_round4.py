@@ -233,6 +233,86 @@ def test_connected_components_empty_edges(spark):
     assert connected_components(edges).count() == 0
 
 
+# --------------------------------------------------- as-of join / sessions
+
+def test_asof_join_at_or_before_semantics(spark):
+    from datetime import datetime
+
+    from pprl_spark.spark.timeseries import asof_join
+
+    T = datetime
+    left = spark.createDataFrame(
+        [(1, 7, T(2024, 1, 1, 10, 0)), (2, 7, T(2024, 1, 1, 11, 0)),
+         (3, 7, T(2024, 1, 1, 9, 0)), (4, 8, T(2024, 1, 1, 12, 0))],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(7, T(2024, 1, 1, 9, 30), 100), (7, T(2024, 1, 1, 11, 0), 200)],
+        "user_id long, ts timestamp_ntz, px long",
+    )
+    got = {r["event_id"]: r["px_asof"]
+           for r in asof_join(left, right, on="ts", by="user_id",
+                              value_cols=["px"]).collect()}
+    assert got == {
+        1: 100,   # 10:00 → latest at-or-before is 9:30
+        2: 200,   # 11:00 → the equal-timestamp right row matches
+        3: None,  # 9:00 → nothing before
+        4: None,  # other user
+    }
+
+
+def test_asof_join_tie_break_deterministic(spark):
+    from datetime import datetime
+
+    from pprl_spark.spark.timeseries import asof_join
+
+    T = datetime(2024, 1, 1, 10, 0)
+    left = spark.createDataFrame([(1, 7, T)], "event_id long, user_id long, ts timestamp_ntz")
+    right = spark.createDataFrame(
+        [(7, T, 5, 50.0), (7, T, 9, 90.0), (7, T, 2, 20.0)],
+        "user_id long, ts timestamp_ntz, rid long, val double",
+    )
+    row = asof_join(left, right, on="ts", by="user_id",
+                    value_cols=["rid", "val"], tie_col="rid").collect()[0]
+    assert (row["rid_asof"], row["val_asof"]) == (9, 90.0)  # largest tie wins
+
+
+def test_sessionize_gap_golden(spark):
+    from datetime import datetime, timedelta
+
+    from pprl_spark.spark.timeseries import sessionize
+
+    t0 = datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (1, 7, t0),
+        (2, 7, t0 + timedelta(minutes=10)),   # same session
+        (3, 7, t0 + timedelta(minutes=45)),   # 35-min gap → new session
+        (4, 7, t0 + timedelta(minutes=75)),   # exactly 30 min → SAME session
+        (5, 8, t0),                           # other user starts at 1
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp_ntz")
+    got = {r["event_id"]: r["session_seq"]
+           for r in sessionize(df, gap="30 minutes", order_tie="event_id").collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_timeseries_ops_are_jvm_side(spark):
+    from datetime import datetime
+
+    from pprl_spark.spark.timeseries import asof_join, sessionize
+
+    df = spark.createDataFrame(
+        [(1, 7, datetime(2024, 1, 1))], "event_id long, user_id long, ts timestamp_ntz"
+    )
+    r = spark.createDataFrame(
+        [(7, datetime(2024, 1, 1), 1.0)], "user_id long, ts timestamp_ntz, v double"
+    )
+    for out in (asof_join(df, r, on="ts", by="user_id", value_cols=["v"]),
+                sessionize(df, order_tie="event_id")):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
 # ----------------------------------------------------------- TF-IDF/BM25
 
 def test_tfidf_terms_golden(spark):
