@@ -492,6 +492,37 @@ def simhash_dup_pairs(spark, sf_dir):
     return simhash_pairs(docs, "doc_id", "text", q=3, chunks=8, max_hamming=6)
 
 
+def events_json_stats(spark, sf_dir):
+    """Semi-structured column handling: extract a field from the JSON
+    ``props`` string (JVM ``get_json_object`` — no Python, pushdown-safe)
+    and aggregate it per event type."""
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("k_sum"),
+        F.max("k").alias("k_max"),
+        F.round(F.avg("k"), 6).alias("k_avg_6dp"),
+    )
+
+
+def events_rollup(spark, sf_dir):
+    """ROLLUP aggregate (event_type → grand total) with NULL group keys
+    sentineled to 'ALL' so the driver compare stays NULL-free."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("value_sum_4dp"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events", "value_sum_4dp",
+        )
+    )
+
+
 def events_asof_purchase(spark, sf_dir):
     """As-of (point-in-time) join: each event picks up the user's latest
     purchase at-or-before its timestamp (spark/timeseries.asof_join —
@@ -966,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup_components,
         "simhash_dup_pairs": simhash_dup_pairs,
         "langid_documents": langid_documents,
+        "events_json_stats": events_json_stats,
+        "events_rollup": events_rollup,
         "events_asof_purchase": events_asof_purchase,
         "events_sessionized": events_sessionized,
         "tfidf_top_terms": tfidf_top_terms,
@@ -1555,6 +1588,23 @@ SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
 """
 
 
+_SQL_JSON_STATS = """
+SELECT event_type, count(*) AS n,
+       sum(k) AS k_sum, max(k) AS k_max,
+       round(avg(k), 6) AS k_avg_6dp
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+) GROUP BY event_type
+"""
+
+_SQL_ROLLUP = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum_4dp
+FROM events GROUP BY ROLLUP(event_type)
+"""
+
 _SQL_ASOF = """
 SELECT l.event_id, l.user_id,
        coalesce(r.p_event, -1) AS last_purchase_id,
@@ -1876,6 +1926,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _sql_dedup_components(),
         "simhash_dup_pairs": _sql_simhash_pairs(),
         "langid_documents": _sql_langid(),
+        "events_json_stats": _SQL_JSON_STATS,
+        "events_rollup": _SQL_ROLLUP,
         "events_asof_purchase": _SQL_ASOF,
         "events_sessionized": _SQL_SESSIONS,
         "tfidf_top_terms": _sql_tfidf_top_terms(),

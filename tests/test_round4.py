@@ -296,6 +296,42 @@ def test_sessionize_gap_golden(spark):
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
 
 
+def test_ivf_centroids_are_broadcast(spark):
+    """The centroid side must reach the cross join as a BroadcastExchange
+    — a shuffled N×C join would defeat the IVF scale story."""
+    from pprl_spark.spark.ann import ivf_topk
+
+    items = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = items.limit(2).selectExpr("vec_id AS query_id", "embedding")
+    plan = ivf_topk(items, queries, k=2, centroid_stride=7, n_centroids=8,
+                    n_probe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The forward-fill formulation must not produce a range join or a
+    per-pair explosion: exactly one Exchange feeding one window Sort."""
+    from datetime import datetime
+
+    from pprl_spark.spark.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 7, datetime(2024, 1, 1))], "event_id long, user_id long, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(7, datetime(2024, 1, 1), 1.0)], "user_id long, ts timestamp_ntz, v double"
+    )
+    plan = asof_join(left, right, on="ts", by="user_id", value_cols=["v"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # one hashpartitioning exchange on the key for the window
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
 def test_timeseries_ops_are_jvm_side(spark):
     from datetime import datetime
 
