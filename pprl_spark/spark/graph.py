@@ -27,7 +27,11 @@ __all__ = ["connected_components", "assign_components"]
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u}).
+
+    No intermediate distinct: duplicate edges cannot change any min, and
+    the round's single distinct lives at the end of the small-star that
+    always follows — one shuffle per round instead of three."""
     nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = nbrs.groupBy("u").agg(F.min("v").alias("m")).select(
         "u", F.least("m", F.col("u")).alias("m")
@@ -36,16 +40,17 @@ def _large_star(e: DataFrame) -> DataFrame:
         nbrs.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Direct edges large→small; connect every smaller-or-equal neighbor
-    (and u itself) to the minimum of that in-neighborhood."""
+    (and u itself) to the minimum of that in-neighborhood.  The final
+    distinct is the ONE dedup of the large+small round — it bounds edge
+    growth across rounds."""
     d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
     mins = d.groupBy("u").agg(F.min("v").alias("m"))
-    with_self = d.union(d.select("u", F.col("u").alias("v"))).distinct()
+    with_self = d.union(d.select("u", F.col("u").alias("v")).distinct())
     return (
         with_self.join(mins, "u")
         .where(F.col("v") != F.col("m"))
