@@ -717,6 +717,25 @@ def multimodal_audio(spark, sf_dir):
     )
 
 
+def multimodal_video(spark, sf_dir):
+    """REAL video decode: complete MP4 (ISO-BMFF) header trees synthesized
+    per doc_id (alternating 32/64-bit mvhd/tkhd versions), parsed back by
+    the actual box walk (parse_mp4_header).  With this, every multimodal
+    column family has a real stdlib decoder: PNG/JPEG/GIF/BMP images,
+    WAV audio, MP4 video."""
+    from pprl_spark.fixtures import make_video_payloads
+    from pprl_spark.spark.multimodal import decode_video_features
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    payloads = make_video_payloads(docs).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return decode_video_features(payloads).select(
+        "doc_id", "format", "width", "height",
+        "timescale", "duration_units", "duration_us",
+    )
+
+
 def multimodal_frames(spark, sf_dir):
     """Frame-sampling plumbing over binary payloads (video-style byte-
     offset slices in the stub decoder)."""
@@ -1009,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": multimodal_decode,
         "multimodal_real_decode": multimodal_real_decode,
         "multimodal_audio": multimodal_audio,
+        "multimodal_video": multimodal_video,
         "multimodal_frames": multimodal_frames,
     }
 
@@ -1948,6 +1968,16 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN 3
                         ELSE (CASE WHEN doc_id % 8 = 3 THEN 1 ELSE 3 END)
                         END AS INT) AS n_channels
+            FROM documents
+        """,
+        "multimodal_video": """
+            SELECT doc_id, 'mp4' AS format,
+                   CAST(160 + doc_id % 480 AS INT) AS width,
+                   CAST(90 + (doc_id * 3) % 270 AS INT) AS height,
+                   CAST(600 + (doc_id % 5) * 600 AS INT) AS timescale,
+                   CAST(1200 + doc_id % 9000 AS BIGINT) AS duration_units,
+                   CAST((1200 + doc_id % 9000) * 1000000
+                        // (600 + (doc_id % 5) * 600) AS BIGINT) AS duration_us
             FROM documents
         """,
         "multimodal_audio": """

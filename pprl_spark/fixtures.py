@@ -27,10 +27,13 @@ __all__ = [
     "make_gif_bytes",
     "make_bmp_bytes",
     "make_wav_bytes",
+    "make_mp4_bytes",
     "image_payload_row",
     "make_image_payloads",
     "audio_payload_row",
     "make_audio_payloads",
+    "video_payload_row",
+    "make_video_payloads",
 ]
 
 _ACCENTED = ["müller", "björk", "façade", "jürgen", "zoë", "garçon", "über", "señor"]
@@ -207,6 +210,67 @@ def make_wav_bytes(
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_mp4_bytes(
+    width: int, height: int, timescale: int, duration_units: int,
+    version: int = 0,
+) -> bytes:
+    """Minimal complete MP4 header tree: ftyp + moov(mvhd + trak(tkhd)).
+    ``version=1`` emits 64-bit mvhd/tkhd time fields (both versions are
+    in the wild; the parser must handle the width difference)."""
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    if version == 1:
+        mvhd_body = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                     + struct.pack(">I", timescale)
+                     + struct.pack(">Q", duration_units)
+                     + b"\x00" * 80)
+        tkhd_fixed = b"\x01\x00\x00\x07" + b"\x00" * 32
+    else:
+        mvhd_body = (b"\x00\x00\x00\x00" + b"\x00" * 8
+                     + struct.pack(">I", timescale)
+                     + struct.pack(">I", duration_units)
+                     + b"\x00" * 80)
+        tkhd_fixed = b"\x00\x00\x00\x07" + b"\x00" * 20
+    identity = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    tkhd_body = (tkhd_fixed + b"\x00" * 8  # reserved
+                 + b"\x00" * 2 + b"\x00" * 2 + b"\x00" * 2 + b"\x00" * 2
+                 + identity
+                 + struct.pack(">II", width << 16, height << 16))
+    moov = box(b"moov", box(b"mvhd", mvhd_body) + box(b"trak", box(b"tkhd", tkhd_body)))
+    return ftyp + moov
+
+
+def video_payload_row(doc_id: int) -> dict:
+    """Deterministic MP4 payload — metadata is id arithmetic, alternating
+    mvhd/tkhd version 0 and 1 boxes."""
+    return {
+        "doc_id": doc_id,
+        "payload": make_mp4_bytes(
+            width=160 + doc_id % 480,
+            height=90 + (doc_id * 3) % 270,
+            timescale=600 + (doc_id % 5) * 600,
+            duration_units=1200 + doc_id % 9000,
+            version=doc_id % 2,
+        ),
+    }
+
+
+def make_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (doc_id, payload BINARY) MP4 fixture feed, distributed."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame([video_payload_row(int(i)) for i in pdf[id_col]])
+
+    return df.select(id_col).mapInPandas(_gen, schema="doc_id long, payload binary")
 
 
 def image_payload_row(doc_id: int) -> dict:

@@ -36,8 +36,10 @@ __all__ = [
     "parse_gif_header",
     "parse_bmp_header",
     "parse_wav_header",
+    "parse_mp4_header",
     "decode_image_features",
     "decode_audio_features",
+    "decode_video_features",
     "sample_frames",
 ]
 
@@ -173,6 +175,68 @@ def parse_wav_header(payload: bytes) -> dict:
     }
 
 
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in a range.
+    Handles 64-bit largesize boxes; stops cleanly on truncation."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(payload[i : i + 4], "big")
+        typ = payload[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                break
+            size = int.from_bytes(payload[i + 8 : i + 16], "big")
+            body = i + 16
+        elif size == 0:  # box extends to end of file
+            size = end - i
+        if size < 8 or i + size > end:
+            break
+        yield typ, body, i + size
+        i += size
+
+
+def parse_mp4_header(payload: bytes) -> dict:
+    """MP4/ISO-BMFF metadata from the box tree: ``moov/mvhd`` gives
+    (timescale, duration), the first video ``moov/trak/tkhd`` gives
+    (width, height) as 16.16 fixed-point.  Pure stdlib box walk; the
+    media stream itself (mdat) is never decoded."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload (missing ftyp)")
+    out = {}
+    for typ, b, e in _mp4_boxes(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t2, b2, e2 in _mp4_boxes(payload, b, e):
+            if t2 == b"mvhd":
+                ver = payload[b2]
+                if ver == 1:
+                    out["timescale"] = int.from_bytes(payload[b2 + 20 : b2 + 24], "big")
+                    out["duration_units"] = int.from_bytes(payload[b2 + 24 : b2 + 32], "big")
+                else:
+                    out["timescale"] = int.from_bytes(payload[b2 + 12 : b2 + 16], "big")
+                    out["duration_units"] = int.from_bytes(payload[b2 + 16 : b2 + 20], "big")
+            elif t2 == b"trak" and "width" not in out:
+                for t3, b3, e3 in _mp4_boxes(payload, b2, e2):
+                    if t3 != b"tkhd":
+                        continue
+                    ver = payload[b3]
+                    # after version come fixed fields whose width depends
+                    # on the version, then layer/group/volume/reserved +
+                    # 36-byte matrix, then width/height as 16.16 fixed
+                    fixed = b3 + 4 + (32 if ver == 1 else 20)
+                    wh = fixed + 8 + 2 + 2 + 2 + 2 + 36
+                    width = int.from_bytes(payload[wh : wh + 4], "big") >> 16
+                    height = int.from_bytes(payload[wh + 4 : wh + 8], "big") >> 16
+                    if width and height:
+                        out["width"], out["height"] = width, height
+    if "timescale" not in out:
+        raise ValueError("corrupt MP4: no moov/mvhd box")
+    out.setdefault("width", 0)
+    out.setdefault("height", 0)
+    return out
+
+
 def _real_image_features(payload: bytes) -> dict:
     """Header-parse decode for PNG/JPEG/GIF/BMP; other formats (video,
     exotic images) are the remaining honest gap — they need real codec
@@ -297,6 +361,54 @@ def decode_audio_features(
 
     return df.select(id_col, payload_col).mapInPandas(
         _decode, schema=_AUDIO_FEATURE_SCHEMA
+    )
+
+
+_VIDEO_FEATURE_SCHEMA = (
+    "doc_id long, format string, width int, height int, "
+    "timescale int, duration_units long, duration_us long, sha256 string"
+)
+
+
+def decode_video_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Binary video column → typed metadata rows via mapInPandas.
+
+    MP4/ISO-BMFF headers are parsed in pure stdlib (``parse_mp4_header``);
+    other containers (mkv/webm/avi) raise ``NotImplementedError``.  The
+    duration is also projected as exact integer microseconds
+    (units·10⁶ div timescale) — engine-portable, no float time math."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                if len(payload) < 12 or payload[4:8] != b"ftyp":
+                    raise NotImplementedError(
+                        "real video decode supports MP4 (ISO-BMFF) headers; "
+                        "other containers need codec libraries not present here"
+                    )
+                meta = parse_mp4_header(payload)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "format": "mp4",
+                        "duration_us": meta["duration_units"] * 1_000_000
+                        // meta["timescale"] if meta["timescale"] else 0,
+                        "sha256": hashlib.sha256(payload).hexdigest(),
+                        **meta,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _decode, schema=_VIDEO_FEATURE_SCHEMA
     )
 
 

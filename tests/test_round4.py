@@ -107,6 +107,39 @@ def test_decode_audio_gates_compressed_codecs(spark):  # noqa: F811
         decode_audio_features(df).collect()
 
 
+def test_mp4_header_parser_golden():
+    from pprl_spark.fixtures import make_mp4_bytes
+    from pprl_spark.spark.multimodal import parse_mp4_header
+
+    for v in (0, 1):
+        m = parse_mp4_header(make_mp4_bytes(1920, 1080, 90000, 450000, version=v))
+        assert m == {"timescale": 90000, "duration_units": 450000,
+                     "width": 1920, "height": 1080}
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4_header(b"\x00\x00\x00\x08mdat")
+    with pytest.raises(ValueError, match="moov"):
+        parse_mp4_header(make_mp4_bytes(1, 1, 1, 1)[:20])
+
+
+def test_decode_video_features_spark(spark):
+    from pprl_spark.fixtures import make_video_payloads
+    from pprl_spark.spark.multimodal import decode_video_features
+
+    base = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    feats = {r["doc_id"]: r
+             for r in decode_video_features(make_video_payloads(base)).collect()}
+    assert len(feats) == 20
+    for i in (0, 1, 7):
+        assert feats[i]["width"] == 160 + i % 480
+        assert feats[i]["timescale"] == 600 + (i % 5) * 600
+        exp_units = 1200 + i % 9000
+        assert feats[i]["duration_us"] == exp_units * 1_000_000 // feats[i]["timescale"]
+    df = spark.createDataFrame([(1, bytearray(b"\x1aEdmatroska00"))],
+                               "doc_id long, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|ISO-BMFF|MP4"):
+        decode_video_features(df).collect()
+
+
 # ------------------------------------- stateful streaming sketch operator
 
 def test_streaming_hll_state_is_bit_identical_to_batch(spark, tmp_path):
