@@ -308,6 +308,31 @@ def hll_distinct_users(spark, sf_dir):
     )
 
 
+def theta_user_overlap(spark, sf_dir):
+    """Theta sketch (bottom-k, sketch/theta.py) — distinct-count SET
+    OPERATIONS that HLL cannot express: |click ∩ purchase| and
+    |click ∪ purchase| user estimates vs the exact answers, assertion-
+    shaped like the other sketch queries.  k=64 so the sampling path
+    (not the exact small-set path) is exercised at sf ≥ 0.01."""
+    from pprl_spark.sketch import ThetaSketch, sketch_column
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id")
+    a = sketch_column(clicks, "user_id", lambda: ThetaSketch(k=64))
+    b = sketch_column(purch, "user_id", lambda: ThetaSketch(k=64))
+    exact_i = clicks.intersect(purch).count()
+    exact_u = clicks.union(purch).distinct().count()
+    tol = 4 * a.relative_error
+    ok_i = abs(a.estimate_intersection(b) - exact_i) <= tol * max(exact_i, 1)
+    ok_u = abs(a.estimate_union(b) - exact_u) <= tol * max(exact_u, 1)
+    return spark.createDataFrame(
+        [(int(exact_i), int(exact_u), bool(ok_i), bool(ok_u))],
+        "exact_overlap long, exact_union long, "
+        "intersection_within_4rse boolean, union_within_4rse boolean",
+    )
+
+
 def hll_distinct_urls_by_lang(spark, sf_dir):
     import math
 
@@ -996,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_mapping": transform_mapping,
         # sketches (rows-only)
         "hll_distinct_users": hll_distinct_users,
+        "theta_user_overlap": theta_user_overlap,
         "hll_distinct_texts_by_lang": hll_distinct_urls_by_lang,
         "cms_event_type_counts": cms_event_type_counts,
         "kll_value_quantiles": kll_value_quantiles,
@@ -2008,6 +2034,18 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users": """
             SELECT count(DISTINCT user_id) AS exact_distinct, true AS within_3sigma
             FROM events
+        """,
+        "theta_user_overlap": """
+            SELECT
+              (SELECT count(*) FROM (
+                 SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+                 INTERSECT
+                 SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+               )) AS exact_overlap,
+              (SELECT count(DISTINCT user_id) FROM events
+               WHERE event_type IN ('click', 'purchase')) AS exact_union,
+              true AS intersection_within_4rse,
+              true AS union_within_4rse
         """,
         "hll_distinct_texts_by_lang": """
             SELECT lang, count(DISTINCT text) AS exact_distinct, true AS within_3sigma

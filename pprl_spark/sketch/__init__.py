@@ -12,3 +12,4 @@ from .hll import HyperLogLog  # noqa: F401
 from .kll import KLLSketch  # noqa: F401
 from .spark_agg import sketch_column, sketch_grouped  # noqa: F401
 from .tdigest import TDigest  # noqa: F401
+from .theta import ThetaSketch  # noqa: F401

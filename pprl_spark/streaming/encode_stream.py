@@ -76,6 +76,7 @@ def streaming_hll_by_key(
     key_col: str,
     value_col: str,
     p: int = 12,
+    output_mode: str = "update",
 ) -> DataFrame:
     """Running per-key distinct-count sketch over a stream.
 
@@ -119,5 +120,5 @@ def streaming_hll_by_key(
         )
 
     return hashed.groupBy("key").applyInPandasWithState(
-        _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        _update, out_schema, state_schema, output_mode, GroupStateTimeout.NoTimeout
     )

@@ -201,6 +201,48 @@ def test_streaming_hll_rejects_batch_df(spark):
         streaming_hll_by_key(df, "key", "val")
 
 
+def test_streaming_hll_state_survives_query_restart(spark, tmp_path):
+    """Exactly-once state: stop the stream after batch 1, start a NEW
+    query from the same checkpoint with more input — the state store must
+    resume (final sketch == batch over all rows), not restart from zero."""
+    from pyspark.sql import functions as F
+
+    from pprl_spark.sketch import HyperLogLog
+    from pprl_spark.streaming import streaming_hll_by_key
+
+    src, ckpt = tmp_path / "src", str(tmp_path / "ckpt")
+    rows1 = [("k", f"a{i}") for i in range(40)]
+    rows2 = [("k", f"b{i}") for i in range(40)]
+    spark.createDataFrame(rows1, "key string, val string").coalesce(1) \
+        .write.mode("append").parquet(str(src))
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = (spark.readStream.schema("key string, val string")
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = (streaming_hll_by_key(stream, "key", "val", p=8,
+                                  output_mode="append")
+             .writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run_once()  # processes rows1, checkpoints offsets + state
+    spark.createDataFrame(rows2, "key string, val string").coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    run_once()  # NEW query object, same checkpoint: must resume state
+
+    final = max(spark.read.parquet(out_dir).collect(),
+                key=lambda r: r["n_rows_seen"])
+    assert final["n_rows_seen"] == 80  # state carried across restart
+    batch = spark.createDataFrame(rows1 + rows2, "key string, val string") \
+        .select(F.xxhash64(F.col("val").cast("string")).alias("h"))
+    hll = HyperLogLog(p=8)
+    hll.update([r["h"] for r in batch.collect()])
+    assert bytes(final["sketch"]) == hll.serialize()
+
+
 # ------------------------------------------------- connected components
 
 def _uf_components(n_nodes, edges):
@@ -476,6 +518,86 @@ def test_ivf_topk_has_no_python_worker(spark):
     plan = ivf_topk(items, queries, k=2, centroid_stride=7, n_centroids=4,
                     n_probe=2)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------- theta sketch
+
+def _theta_hashes(n, seed):
+    import numpy as np
+
+    r = np.random.default_rng(seed)
+    return r.integers(0, 1 << 63, size=n, dtype=np.int64) * 2 + 1
+
+
+def test_theta_exact_below_k_and_bounded_above():
+    from pprl_spark.sketch import ThetaSketch
+
+    t = ThetaSketch(k=64)
+    t.update(_theta_hashes(50, 1))
+    assert t.estimate() == 50.0 and t.theta == 1.0
+
+    import numpy as np
+
+    t = ThetaSketch(k=1024)
+    h = _theta_hashes(100_000, 2)
+    t.update(h)
+    exact = len(np.unique(h))
+    assert abs(t.estimate() - exact) / exact < 4 * t.relative_error
+
+
+def test_theta_merge_bit_identical_across_splits():
+    import numpy as np
+
+    from pprl_spark.sketch import ThetaSketch, deserialize
+
+    h = _theta_hashes(50_000, 3)
+    full = ThetaSketch(k=512)
+    full.update(h)
+    for splits in (2, 7, 32):
+        acc = ThetaSketch(k=512)
+        for part in np.array_split(h, splits):
+            s = ThetaSketch(k=512)
+            s.update(part)
+            acc.merge(s)
+        assert acc.serialize() == full.serialize()
+    assert deserialize(full.serialize()).serialize() == full.serialize()
+
+
+def test_theta_set_operations():
+    import numpy as np
+
+    from pprl_spark.sketch import ThetaSketch
+
+    a_h = _theta_hashes(50_000, 4)
+    b_h = np.concatenate([a_h[:30_000], _theta_hashes(40_000, 5)])
+    a = ThetaSketch(k=2048)
+    a.update(a_h)
+    b = ThetaSketch(k=2048)
+    b.update(b_h)
+    exact_i = len(np.intersect1d(np.unique(a_h), np.unique(b_h)))
+    exact_u = len(np.union1d(a_h, b_h))
+    assert abs(a.estimate_intersection(b) - exact_i) / exact_i < 0.1
+    assert abs(a.estimate_union(b) - exact_u) / exact_u < 0.1
+    # intersection must be symmetric
+    assert a.estimate_intersection(b) == b.estimate_intersection(a)
+
+
+def test_theta_spark_column_matches_local(spark):
+    """sketch_column over an 8-partition frame must produce the same
+    state as a local single-pass build (bottom-k merge associativity)."""
+    from pyspark.sql import functions as F
+
+    from pprl_spark.sketch import ThetaSketch, sketch_column
+
+    df = spark.range(0, 20_000, numPartitions=8).select(
+        (F.col("id") % 3_000).cast("string").alias("v")
+    )
+    sk = sketch_column(df, "v", lambda: ThetaSketch(k=256))
+    hashes = [r["h"] for r in df.select(F.xxhash64("v").alias("h")).collect()]
+    local = ThetaSketch(k=256)
+    local.update(hashes)
+    assert sk.serialize() == local.serialize()
+    assert abs(sk.estimate() - 3_000) / 3_000 < 4 * sk.relative_error
 
 
 # ------------------------------------------------- rehash oracle helpers
