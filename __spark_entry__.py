@@ -517,6 +517,27 @@ def simhash_dup_pairs(spark, sf_dir):
     return simhash_pairs(docs, "doc_id", "text", q=3, chunks=8, max_hamming=6)
 
 
+def q5_salted_join(spark, sf_dir):
+    """Revenue per market segment via an EXPLICITLY salted orders ⋈
+    customer join (spark/skew.py — deterministic salt from o_orderkey,
+    customer side replicated 8×).  Result must equal the plain join, so
+    the oracle is the unsalted SQL."""
+    from pprl_spark.spark.skew import salted_join
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, on="o_custkey",
+                         salt_src="o_orderkey", n_salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).cast("double").alias("revenue_2dp"),
+    )
+
+
 def events_json_stats(spark, sf_dir):
     """Semi-structured column handling: extract a field from the JSON
     ``props`` string (JVM ``get_json_object`` — no Python, pushdown-safe)
@@ -1042,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup_components,
         "simhash_dup_pairs": simhash_dup_pairs,
         "langid_documents": langid_documents,
+        "q5_salted_join": q5_salted_join,
         "events_json_stats": events_json_stats,
         "events_rollup": events_rollup,
         "events_asof_purchase": events_asof_purchase,
@@ -1634,6 +1656,13 @@ SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
 """
 
 
+_SQL_SALTED_JOIN = """
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS revenue_2dp
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
 _SQL_JSON_STATS = """
 SELECT event_type, count(*) AS n,
        sum(k) AS k_sum, max(k) AS k_max,
@@ -1972,6 +2001,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _sql_dedup_components(),
         "simhash_dup_pairs": _sql_simhash_pairs(),
         "langid_documents": _sql_langid(),
+        "q5_salted_join": _SQL_SALTED_JOIN,
         "events_json_stats": _SQL_JSON_STATS,
         "events_rollup": _SQL_ROLLUP,
         "events_asof_purchase": _SQL_ASOF,

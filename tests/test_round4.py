@@ -520,6 +520,42 @@ def test_ivf_topk_has_no_python_worker(spark):
     assert "Python" not in plan and "BatchEvalPython" not in plan
 
 
+# ------------------------------------------------------- salted join
+
+def test_salted_join_equals_plain_join(spark):
+    """A hot key (90% of big-side rows) salted over 8 partitions must
+    reproduce the plain join exactly, and the salt must actually spread
+    the hot key (all 8 salt values hit)."""
+    from pyspark.sql import functions as F
+
+    from pprl_spark.spark.skew import salted_join
+
+    big = spark.range(0, 2000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 5).alias("k"),
+    )
+    small = spark.createDataFrame([(i, f"v{i}") for i in range(8)], "k long, val string")
+    got = salted_join(big, small, on="k", salt_src="rid", n_salt=8)
+    plain = big.join(small, "k")
+    assert got.count() == plain.count()
+    assert got.exceptAll(plain).count() == 0 and plain.exceptAll(got).count() == 0
+    salts = (big.where(F.col("k") == 7)
+             .select(F.pmod(F.xxhash64("rid"), F.lit(8)).alias("s"))
+             .distinct().count())
+    assert salts == 8
+
+
+def test_salted_join_left_outer(spark):
+    from pprl_spark.spark.skew import salted_join
+
+    big = spark.createDataFrame([(1, 10), (2, 99)], "rid long, k long")
+    small = spark.createDataFrame([(10, "x")], "k long, val string")
+    rows = {r["rid"]: r["val"]
+            for r in salted_join(big, small, on="k", salt_src="rid",
+                                 n_salt=4, how="left").collect()}
+    assert rows == {1: "x", 2: None}
+
+
 # ------------------------------------------------------- theta sketch
 
 def _theta_hashes(n, seed):
