@@ -520,6 +520,42 @@ def test_ivf_topk_has_no_python_worker(spark):
     assert "Python" not in plan and "BatchEvalPython" not in plan
 
 
+# ------------------------------------------------------- dedup job
+
+def test_dedup_job_stages_end_to_end(spark, tmp_path):
+    """The shipped staged dedup job (jobs/dedup_job.py): stats → pairs →
+    components → canonical on sf0.001, resumable, and the canonical map
+    agrees with an independent union-find over the emitted pairs."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "dedup_job",
+        pathlib.Path(__file__).resolve().parent.parent / "jobs" / "dedup_job.py",
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+    from pprl_spark.spark.pipeline import Pipeline
+
+    stages = job.build_stages("/root/testdata/sf0.001/documents.parquet",
+                              q=5, threshold=0.8, min_quality=0.0)
+    results = Pipeline(spark, tmp_path, stages).run()
+    canon = {r["doc_id"]: r for r in results["canonical"].collect()}
+    assert len(canon) == 500
+    pairs = [(r["id_a"], r["id_b"]) for r in results["pairs"].collect()]
+    assert pairs  # the corpus has near-dups
+    expected = _uf_components(500, pairs)
+    for doc_id, row in canon.items():
+        exp = expected[doc_id]
+        assert row["canonical_doc_id"] == exp
+        assert row["is_canonical"] == (doc_id == exp)
+    # resume is a no-op with identical output
+    again = Pipeline(spark, tmp_path, stages).run()
+    assert {r["doc_id"]: r["canonical_doc_id"]
+            for r in again["canonical"].collect()} \
+        == {k: v["canonical_doc_id"] for k, v in canon.items()}
+
+
 # ------------------------------------------------------- salted join
 
 def test_salted_join_equals_plain_join(spark):
