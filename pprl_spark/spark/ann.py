@@ -203,12 +203,18 @@ def ivf_topk(
     per-query candidate work is proportional to probed-cell occupancy
     (~n_probe·N/C), not N.
     """
-    cents = F.broadcast(
-        items.where(
-            (F.col(item_id) % centroid_stride == 0)
-            & (F.col(item_id) < n_centroids * centroid_stride)
-        ).select(F.col(item_id).alias("__cid"), F.col(vec_col).alias("__cv"))
-    )
+    cents_df = items.where(
+        (F.col(item_id) % centroid_stride == 0)
+        & (F.col(item_id) < n_centroids * centroid_stride)
+    ).select(F.col(item_id).alias("__cid"), F.col(vec_col).alias("__cv"))
+    if cents_df.isEmpty():
+        # an id space that misses every stride multiple would otherwise
+        # produce a silently empty result
+        raise ValueError(
+            f"no centroid rows: no {item_id} in "
+            f"[0, {n_centroids * centroid_stride}) divisible by {centroid_stride}"
+        )
+    cents = F.broadcast(cents_df)
     item_d = (
         items.select(F.col(item_id).alias("__iid"), F.col(vec_col).alias("__iv"))
         .crossJoin(cents)

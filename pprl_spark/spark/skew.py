@@ -38,6 +38,14 @@ def salted_join(
     shuffle — keep n_salt modest, or broadcast the small side outright
     when it fits).  Result is identical to ``big.join(small, on, how)``.
     """
+    if how.replace("_", "") not in ("inner", "left", "leftouter"):
+        # right/full outer would emit each unmatched small-side row once
+        # PER SALT (n_salt duplicates) — the salted formulation only
+        # preserves inner/left semantics
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' (got {how!r}): outer "
+            "small-side rows would duplicate once per salt"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     b = big.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salt)).cast("int")

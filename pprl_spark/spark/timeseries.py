@@ -46,6 +46,12 @@ def asof_join(
     """
     lcols = left.columns
     carried = [f"{c}_asof" for c in value_cols]
+    clash = [c for c in carried if c in lcols]
+    if clash:
+        raise ValueError(
+            f"asof_join output column(s) {clash} already exist on the left "
+            "side — rename the right-side value columns first"
+        )
 
     l_tagged = left.select(
         *lcols,

@@ -581,6 +581,43 @@ def test_salted_join_equals_plain_join(spark):
     assert salts == 8
 
 
+def test_salted_join_rejects_outer(spark):
+    from pprl_spark.spark.skew import salted_join
+
+    big = spark.createDataFrame([(1, 10)], "rid long, k long")
+    small = spark.createDataFrame([(10, "x")], "k long, val string")
+    with pytest.raises(ValueError, match="outer"):
+        salted_join(big, small, on="k", salt_src="rid", how="full")
+
+
+def test_ivf_rejects_empty_centroids(spark):
+    from pprl_spark.spark.ann import ivf_topk
+
+    items = spark.createDataFrame(
+        [(i + 1_000_000, [1.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    q = items.limit(1).selectExpr("vec_id AS query_id", "embedding")
+    with pytest.raises(ValueError, match="no centroid rows"):
+        ivf_topk(items, q, centroid_stride=7, n_centroids=4)
+
+
+def test_asof_join_rejects_column_clash(spark):
+    from datetime import datetime
+
+    from pprl_spark.spark.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 7, datetime(2024, 1, 1), 0.0)],
+        "event_id long, user_id long, ts timestamp_ntz, v_asof double",
+    )
+    right = spark.createDataFrame(
+        [(7, datetime(2024, 1, 1), 1.0)], "user_id long, ts timestamp_ntz, v double"
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        asof_join(left, right, on="ts", by="user_id", value_cols=["v"])
+
+
 def test_salted_join_left_outer(spark):
     from pprl_spark.spark.skew import salted_join
 
