@@ -172,6 +172,47 @@ def _cmd_estimate(args, spark) -> None:
         fh.write(weighted_attributes_to_json(stats, indent=2))
 
 
+def _cmd_dedup(args, spark) -> None:
+    """Beyond-reference: near-dup pairs → connected components →
+    canonical-doc CSV (doc_id, canonical_doc_id, is_canonical,
+    cluster_size) from a CSV or parquet corpus."""
+    from pyspark.sql import functions as F
+
+    from .spark.dedup import jaccard_verify, minhash_lsh_pairs
+    from .spark.graph import assign_components
+
+    if args.input.endswith(".parquet") or os.path.isdir(args.input):
+        docs = spark.read.parquet(args.input)
+    else:
+        docs = spark.read.csv(args.input, header=True)
+    if args.id_column not in docs.columns or args.text_column not in docs.columns:
+        raise ValueError(
+            f"input needs `{args.id_column}` and `{args.text_column}` columns "
+            f"(found {docs.columns})"
+        )
+    docs = docs.select(
+        F.col(args.id_column).cast("long").alias("doc_id"),
+        F.col(args.text_column).alias("text"),
+    )
+    cands = minhash_lsh_pairs(docs, "doc_id", "text", q=args.token_size,
+                              num_hashes=128, bands=16, max_bucket_size=1000)
+    pairs = jaccard_verify(cands, docs, "doc_id", "text",
+                           q=args.token_size, threshold=args.threshold)
+    comp = assign_components(docs, "doc_id", pairs.select("id_a", "id_b"))
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    out = (
+        comp.join(sizes, "component")
+        .select(
+            "doc_id",
+            F.col("component").alias("canonical_doc_id"),
+            (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+    _write_single_csv(out, args.output)
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="pprl_spark", description="PySpark-native PPRL engine CLI"
@@ -219,6 +260,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--base-transform-request-file-path", default=None)
     p.add_argument("--id-column", default="id")
     p.set_defaults(fn=_cmd_estimate)
+
+    p = sub.add_parser(
+        "dedup",
+        help="near-duplicate clustering (MinHash-LSH + connected components) "
+             "→ canonical-doc CSV; beyond the reference surface",
+    )
+    p.add_argument("input", help="documents parquet path/dir or CSV with header")
+    p.add_argument("output", help="output CSV path")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("-q", "--token-size", type=int, default=5)
+    p.add_argument("-t", "--threshold", type=float, default=0.8)
+    p.set_defaults(fn=_cmd_dedup)
     return ap
 
 

@@ -556,6 +556,27 @@ def test_dedup_job_stages_end_to_end(spark, tmp_path):
         == {k: v["canonical_doc_id"] for k, v in canon.items()}
 
 
+def test_cli_dedup_end_to_end(spark, tmp_path):
+    """`python -m pprl_spark dedup` over the testdata parquet produces a
+    canonical map whose non-singleton clusters match the library path."""
+    import csv
+
+    from pprl_spark.cli import build_parser
+
+    out = tmp_path / "canon.csv"
+    args = build_parser().parse_args(
+        ["dedup", "/root/testdata/sf0.001/documents.parquet", str(out)]
+    )
+    args.fn(args, spark)
+    with open(out) as fh:
+        rows = list(csv.DictReader(fh))
+    assert len(rows) == 500
+    non_singleton = [r for r in rows if int(r["cluster_size"]) > 1]
+    assert non_singleton  # corpus has near-dups
+    for r in rows:
+        assert (r["is_canonical"] == "true") == (r["doc_id"] == r["canonical_doc_id"])
+
+
 # ------------------------------------------------------- salted join
 
 def test_salted_join_equals_plain_join(spark):
