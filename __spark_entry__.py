@@ -763,6 +763,28 @@ def multimodal_audio(spark, sf_dir):
     )
 
 
+def multimodal_pixels(spark, sf_dir):
+    """REAL pixel-level decode + resize: patterned grayscale PNGs (pixel
+    (r,c) = (doc_id + 7r + 3c) % 251, odd rows Sub-filtered) are raster-
+    decoded (zlib + spec defilter, spark/multimodal.decode_png_pixels),
+    nearest-resized to 8×8, and reduced to means.  The oracle recomputes
+    both means straight from the pattern arithmetic — a filter-undo or
+    resize-index bug breaks the hash."""
+    from pprl_spark.fixtures import make_pixel_payloads
+    from pprl_spark.spark.multimodal import image_pixel_features
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    payloads = make_pixel_payloads(docs).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = image_pixel_features(payloads, grid=8)
+    return feats.select(
+        "doc_id", "width", "height",
+        F.round("mean_full", 6).alias("mean_full_6dp"),
+        F.round("mean_grid", 6).alias("mean_grid_6dp"),
+    )
+
+
 def multimodal_video(spark, sf_dir):
     """REAL video decode: complete MP4 (ISO-BMFF) header trees synthesized
     per doc_id (alternating 32/64-bit mvhd/tkhd versions), parsed back by
@@ -1076,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": multimodal_decode,
         "multimodal_real_decode": multimodal_real_decode,
         "multimodal_audio": multimodal_audio,
+        "multimodal_pixels": multimodal_pixels,
         "multimodal_video": multimodal_video,
         "multimodal_frames": multimodal_frames,
     }
@@ -2025,6 +2048,33 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (CASE WHEN doc_id % 8 = 3 THEN 1 ELSE 3 END)
                         END AS INT) AS n_channels
             FROM documents
+        """,
+        "multimodal_pixels": """
+            WITH dims AS (
+              SELECT doc_id,
+                     CAST(16 + doc_id % 17 AS INT) AS w,
+                     CAST(16 + (doc_id * 3) % 13 AS INT) AS h
+              FROM documents
+            ), full_mean AS (
+              SELECT d.doc_id, avg((d.doc_id + 7 * r.r + 3 * c.c) % 251) AS mf
+              FROM dims d
+              JOIN (SELECT unnest(range(0, 28)) AS r) r ON r.r < d.h
+              JOIN (SELECT unnest(range(0, 33)) AS c) c ON c.c < d.w
+              GROUP BY d.doc_id
+            ), grid_mean AS (
+              SELECT d.doc_id,
+                     avg((d.doc_id + 7 * ((i.i * d.h) // 8)
+                          + 3 * ((j.j * d.w) // 8)) % 251) AS mg
+              FROM dims d
+              CROSS JOIN (SELECT unnest(range(0, 8)) AS i) i
+              CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+              GROUP BY d.doc_id
+            )
+            SELECT d.doc_id, d.w AS width, d.h AS height,
+                   round(f.mf, 6) AS mean_full_6dp,
+                   round(g.mg, 6) AS mean_grid_6dp
+            FROM dims d JOIN full_mean f ON f.doc_id = d.doc_id
+            JOIN grid_mean g ON g.doc_id = d.doc_id
         """,
         "multimodal_video": """
             SELECT doc_id, 'mp4' AS format,

@@ -28,6 +28,9 @@ __all__ = [
     "make_bmp_bytes",
     "make_wav_bytes",
     "make_mp4_bytes",
+    "make_patterned_png_bytes",
+    "pixel_payload_row",
+    "make_pixel_payloads",
     "image_payload_row",
     "make_image_payloads",
     "audio_payload_row",
@@ -210,6 +213,63 @@ def make_wav_bytes(
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_patterned_png_bytes(width: int, height: int, doc_id: int) -> bytes:
+    """Complete 8-bit grayscale PNG whose pixel (r, c) equals
+    ``(doc_id + 7·r + 3·c) % 251`` — SQL-reproducible raster ground truth.
+    Odd rows are encoded with the Sub filter (type 1), even rows with
+    None (type 0), so decoding must actually undo filters to recover the
+    pattern."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for r in range(height):
+        row = [(doc_id + 7 * r + 3 * c) % 251 for c in range(width)]
+        if r % 2 == 1:
+            raw.append(1)  # Sub
+            prev = 0
+            for v in row:
+                raw.append((v - prev) & 0xFF)
+                prev = v
+        else:
+            raw.append(0)  # None
+            raw.extend(row)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def pixel_payload_row(doc_id: int) -> dict:
+    return {
+        "doc_id": doc_id,
+        "payload": make_patterned_png_bytes(
+            16 + doc_id % 17, 16 + (doc_id * 3) % 13, doc_id
+        ),
+    }
+
+
+def make_pixel_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (doc_id, payload BINARY) patterned-PNG feed, distributed."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame([pixel_payload_row(int(i)) for i in pdf[id_col]])
+
+    return df.select(id_col).mapInPandas(_gen, schema="doc_id long, payload binary")
 
 
 def make_mp4_bytes(

@@ -107,6 +107,67 @@ def test_decode_audio_gates_compressed_codecs(spark):  # noqa: F811
         decode_audio_features(df).collect()
 
 
+def test_png_raster_decode_all_filter_types():
+    """decode_png_pixels must undo every spec filter (None/Sub/Up/
+    Average/Paeth) — encode a random RGB raster with one row per filter
+    type and round-trip."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pprl_spark.spark.multimodal import decode_png_pixels
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    w, h, ch = 7, 5, 3
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8).astype(int)
+    raw = bytearray()
+    prev = [0] * (w * ch)
+    for r, f in zip(range(h), [0, 1, 2, 3, 4]):
+        row = img[r]
+        raw.append(f)
+        for k in range(w * ch):
+            a = row[k - ch] if k >= ch else 0
+            b = prev[k]
+            c = prev[k - ch] if k >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[f]
+            raw.append((row[k] - pred) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png_pixels(png).reshape(h, w * ch),
+                          img.astype(np.uint8))
+
+
+def test_patterned_png_round_trip_and_resize():
+    import numpy as np
+
+    from pprl_spark.fixtures import pixel_payload_row
+    from pprl_spark.spark.multimodal import decode_png_pixels, resize_nearest
+
+    for doc_id in (0, 3, 11):
+        w, h = 16 + doc_id % 17, 16 + (doc_id * 3) % 13
+        px = decode_png_pixels(pixel_payload_row(doc_id)["payload"])
+        expected = np.array(
+            [[(doc_id + 7 * r + 3 * c) % 251 for c in range(w)] for r in range(h)],
+            dtype=np.uint8,
+        )
+        assert np.array_equal(px[:, :, 0], expected)
+        small = resize_nearest(px, 8, 8)
+        exp = expected[(np.arange(8) * h) // 8][:, (np.arange(8) * w) // 8]
+        assert np.array_equal(small[:, :, 0], exp)
+
+
 def test_mp4_header_parser_golden():
     from pprl_spark.fixtures import make_mp4_bytes
     from pprl_spark.spark.multimodal import parse_mp4_header
