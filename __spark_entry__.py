@@ -491,6 +491,17 @@ def minhash_dedup_pairs(spark, sf_dir):
     )
 
 
+def documents_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by doc_id hash
+    (spark/sampling.hash_split) — partition/retry/append-stable, the
+    reproducible alternative to df.randomSplit.  Every assignment is
+    hash-verified (the oracle replays the md5-lane arithmetic)."""
+    from pprl_spark.spark.sampling import hash_split
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, "doc_id", [0.8, 0.1, 0.1])
+
+
 def dedup_components(spark, sf_dir):
     """Pairs → canonical dedup GROUPS: the verified MinHash near-dup pairs
     (same pipeline as minhash_dedup_pairs) become edges of an undirected
@@ -1083,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup / ANN / text (rows-only where xxhash64/UDF-based)
         "minhash_dedup_pairs": minhash_dedup_pairs,
         "dedup_components": dedup_components,
+        "documents_split": documents_split,
         "simhash_dup_pairs": simhash_dup_pairs,
         "langid_documents": langid_documents,
         "q5_salted_join": q5_salted_join,
@@ -1786,6 +1798,32 @@ GROUP BY doc_id
 """
 
 
+def _sql_documents_split() -> str:
+    """Mirror of sampling.hash_split: md5(CAST(doc_id AS VARCHAR)) first
+    8 hex digits mod 2^31−1 mod 10^6 → threshold CASE."""
+    lane = (
+        "((strpos('0123456789abcdef', hx[1]) - 1) * 268435456"
+        " + (strpos('0123456789abcdef', hx[2]) - 1) * 16777216"
+        " + (strpos('0123456789abcdef', hx[3]) - 1) * 1048576"
+        " + (strpos('0123456789abcdef', hx[4]) - 1) * 65536"
+        " + (strpos('0123456789abcdef', hx[5]) - 1) * 4096"
+        " + (strpos('0123456789abcdef', hx[6]) - 1) * 256"
+        " + (strpos('0123456789abcdef', hx[7]) - 1) * 16"
+        " + (strpos('0123456789abcdef', hx[8]) - 1)) % 2147483647"
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, ({lane}) % 1000000 AS bucket
+  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+)
+SELECT doc_id,
+       CAST(CASE WHEN bucket < 800000 THEN 0
+                 WHEN bucket < 900000 THEN 1
+                 ELSE 2 END AS INT) AS split
+FROM b
+"""
+
+
 def _sql_dedup_components() -> str:
     """Recursive min-label propagation over the SAME verified MinHash pair
     set as `_sql_minhash_pairs` (embedded as a subquery): a label (origin
@@ -2022,6 +2060,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs": _sql_embedding_dup_pairs(),
         "minhash_dedup_pairs": _sql_minhash_pairs(),
         "dedup_components": _sql_dedup_components(),
+        "documents_split": _sql_documents_split(),
         "simhash_dup_pairs": _sql_simhash_pairs(),
         "langid_documents": _sql_langid(),
         "q5_salted_join": _SQL_SALTED_JOIN,

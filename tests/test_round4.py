@@ -711,6 +711,50 @@ def test_salted_join_left_outer(spark):
     assert rows == {1: "x", 2: None}
 
 
+# ------------------------------------------------- deterministic sampling
+
+def test_hash_sample_partition_invariant(spark):
+    from pprl_spark.spark.sampling import hash_sample
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    ids1 = {r["k"] for r in hash_sample(df.repartition(3), "k", 0.2).collect()}
+    ids2 = {r["k"] for r in hash_sample(df.repartition(17), "k", 0.2).collect()}
+    assert ids1 == ids2
+    assert 0.15 < len(ids1) / 5000 < 0.25
+    # different salts give (nearly) independent draws
+    ids3 = {r["k"] for r in hash_sample(df, "k", 0.2, salt="x").collect()}
+    overlap = len(ids1 & ids3) / max(len(ids1), 1)
+    assert 0.05 < overlap < 0.4  # ≈0.2 if independent
+
+
+def test_hash_split_proportions_and_stability(spark):
+    from pyspark.sql import functions as F
+
+    from pprl_spark.spark.sampling import hash_split
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k", [0.8, 0.1, 0.1])
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts[0] / 10_000 - 0.8) < 0.02
+    assert abs(counts[1] / 10_000 - 0.1) < 0.01
+    assert abs(counts[2] / 10_000 - 0.1) < 0.01
+    # appending rows never reassigns existing ones
+    sub = hash_split(df.where("k < 100"), "k", [0.8, 0.1, 0.1])
+    full_map = {r["k"]: r["split"] for r in out.where("k < 100").collect()}
+    assert {r["k"]: r["split"] for r in sub.collect()} == full_map
+
+
+def test_hash_split_validates_weights(spark):
+    from pprl_spark.spark.sampling import hash_sample, hash_split
+
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "k", [0.5, 0.4])
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(df, "k", 1.5)
+
+
 # ------------------------------------------------------- theta sketch
 
 def _theta_hashes(n, seed):
