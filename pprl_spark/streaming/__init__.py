@@ -6,6 +6,7 @@ incremental-ingest shape for a continuously-crawled pages table.
 """
 
 from .encode_stream import (  # noqa: F401
+    streaming_dedup_exact,
     streaming_hll_by_key,
     streaming_mask,
     streaming_windowed_counts,

@@ -71,6 +71,33 @@ def streaming_windowed_counts(
     )
 
 
+def streaming_dedup_exact(
+    stream_df: DataFrame,
+    content_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on a content fingerprint with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a fingerprint only while a
+    duplicate could still arrive (the watermark horizon), so state size
+    follows the event-time window, not the stream's history — the
+    streaming counterpart of the batch ``exact_dedup`` (same two-lane
+    128-bit key, so a 10^12-row stream gets the same collision margin)."""
+    if not stream_df.isStreaming:
+        raise ValueError("streaming_dedup_exact expects a streaming DataFrame")
+    keyed = stream_df.withColumns(
+        {
+            "__k1": F.xxhash64(F.col(content_col)),
+            "__k2": F.xxhash64(F.col(content_col), F.lit(1)),
+        }
+    )
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__k1", "__k2"])
+        .drop("__k1", "__k2")
+    )
+
+
 def streaming_hll_by_key(
     stream_df: DataFrame,
     key_col: str,

@@ -711,6 +711,47 @@ def test_salted_join_left_outer(spark):
     assert rows == {1: "x", 2: None}
 
 
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Duplicated texts within the watermark window collapse to one row;
+    distinct texts all pass."""
+    from datetime import datetime, timedelta
+
+    from pprl_spark.streaming import streaming_dedup_exact
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, f"text-{i % 6}", t0 + timedelta(minutes=i)) for i in range(24)]
+    src = tmp_path / "src"
+    spark.createDataFrame(rows, "event_id long, text string, ts timestamp") \
+        .coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "event_id long, text string, ts timestamp"
+    ).parquet(str(src))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (streaming_dedup_exact(stream, "text", "ts", watermark="10 hours")
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 6
+    assert {r["text"] for r in got} == {f"text-{i}" for i in range(6)}
+
+
+def test_connected_components_path_graph_converges_logarithmically(spark):
+    """Worst-case diameter: a 4096-node path must converge (star rounds
+    contract chains exponentially) well inside the 50-round cap, and
+    label every node with the path minimum."""
+    n = 4096
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    from pprl_spark.spark.graph import connected_components
+
+    got = connected_components(edges).collect()
+    assert len(got) == n
+    assert all(r["component"] == 0 for r in got)
+
+
 # ------------------------------------------------- deterministic sampling
 
 def test_hash_sample_partition_invariant(spark):
