@@ -122,6 +122,45 @@ def q1_pricing_summary(spark, sf_dir):
     )
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: tight range filters that must ALL reach the scan
+    (plan-gated for PushedFilters) over one pure aggregate."""
+    li = _load(spark, sf_dir, "lineitem")
+    out = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return out
+
+
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: broadcast part join + conditional aggregate ratio."""
+    li = _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    part = _load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(0.0))
+            / F.sum(disc),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
 def q3_top_orders(spark, sf_dir):
     cust = _load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _load(spark, sf_dir, "orders").filter(
@@ -1097,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_split": documents_split,
         "simhash_dup_pairs": simhash_dup_pairs,
         "langid_documents": langid_documents,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q14_promo_effect": q14_promo_effect,
         "q5_salted_join": q5_salted_join,
         "events_json_stats": events_json_stats,
         "events_rollup": events_rollup,
@@ -2063,6 +2104,26 @@ def oracle_sql() -> dict[str, str]:
         "documents_split": _sql_documents_split(),
         "simhash_dup_pairs": _sql_simhash_pairs(),
         "langid_documents": _sql_langid(),
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q14_promo_effect": """
+            SELECT round(
+                     100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6
+                   ) AS promo_revenue_pct
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+              AND l_shipdate <  TIMESTAMP '1995-10-01'
+        """,
         "q5_salted_join": _SQL_SALTED_JOIN,
         "events_json_stats": _SQL_JSON_STATS,
         "events_rollup": _SQL_ROLLUP,

@@ -711,6 +711,26 @@ def test_salted_join_left_outer(spark):
     assert rows == {1: "x", 2: None}
 
 
+def test_q6_filters_reach_the_scan(spark):
+    import __spark_entry__ as E
+
+    plan = (E.q6_forecast_revenue(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters:" in plan
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        # every range predicate must appear inside the pushed-filter list
+        pushed = plan.split("PushedFilters:")[1].split("]")[0]
+        assert frag in pushed, frag
+
+
+def test_q14_broadcasts_part(spark):
+    import __spark_entry__ as E
+
+    plan = (E.q14_promo_effect(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+
+
 def test_streaming_dedup_exact(spark, tmp_path):
     """Duplicated texts within the watermark window collapse to one row;
     distinct texts all pass."""
