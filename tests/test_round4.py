@@ -757,6 +757,43 @@ def test_streaming_dedup_exact(spark, tmp_path):
     assert {r["text"] for r in got} == {f"text-{i}" for i in range(6)}
 
 
+def test_stream_job_incremental_and_resumable(spark, tmp_path):
+    """The composed streaming job (jobs/stream_job.py): first pass encodes
+    the deduped batch-1 pages; a second pass with NEW files resumes from
+    the checkpoint and appends only the new unique pages."""
+    import importlib.util
+    import pathlib
+    from datetime import datetime, timedelta
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_job",
+        pathlib.Path(__file__).resolve().parent.parent / "jobs" / "stream_job.py",
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    t0 = datetime(2024, 1, 1)
+    rows1 = [(f"u{i}", f"text-{i % 4}", "en", t0 + timedelta(minutes=i))
+             for i in range(8)]
+    spark.createDataFrame(rows1, job.PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = job.build_query(spark, src, out, ckpt, once=True)
+    q.awaitTermination(180)
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 4  # 8 rows, 4 distinct texts
+
+    rows2 = [(f"v{i}", f"text-{i}", "en", t0 + timedelta(minutes=20 + i))
+             for i in range(2, 6)]  # text-2/3 are dups of batch 1
+    spark.createDataFrame(rows2, job.PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = job.build_query(spark, src, out, ckpt, once=True)
+    q.awaitTermination(180)
+    both = spark.read.parquet(out).collect()
+    assert len(both) == 6  # only text-4 and text-5 are new
+    assert all(len(bytes(r["bloom"])) == 128 for r in both)
+
+
 def test_connected_components_path_graph_converges_logarithmically(spark):
     """Worst-case diameter: a 4096-node path must converge (star rounds
     contract chains exponentially) well inside the 50-round cap, and
