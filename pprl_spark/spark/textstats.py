@@ -145,18 +145,24 @@ def tf_idf_terms(df: DataFrame, id_col: str = "doc_id",
     """Per-(doc, term) TF-IDF: tf = raw in-document count,
     idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style).
 
-    Plan shape: one explode → (id, term) groupBy with map-side combine for
-    tf; term-keyed groupBy for df; the tiny (term, df) side broadcasts
-    back onto the tf rows; N is a scalar literal-ized via a 1-row
-    cross join (broadcast).  Two shuffles total, both on uniform keys —
-    the shape survives 100× scale (term df is vocabulary-sized, not
-    corpus-sized).
+    Plan shape: ONE explode pass → (id, term) groupBy with map-side
+    combine for tf; document frequency derives from the tf aggregate
+    itself (df(term) = number of tf rows for that term — far smaller
+    than re-scanning the corpus), broadcast back onto the tf rows; N is
+    a scalar via a 1-row broadcast cross join.  The tf aggregate is
+    materialized (lazy localCheckpoint): Catalyst prunes the two
+    consumers' columns differently, so their exchange subtrees never
+    canonicalize equal and exchange reuse does NOT fire — without the
+    materialization each branch would re-tokenize the whole corpus
+    (verified in the adaptive final plan).  tf is the compacted
+    intermediate (distinct (doc, term) pairs), far smaller than the
+    corpus, so this is the standard materialize-the-compaction move.
     """
     words = _word_explode(df, id_col, text_col)
-    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = words.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("df")
-    )
+    tf = words.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(F.broadcast(dfreq), "term")
@@ -186,19 +192,22 @@ def bm25_scores(
 
     score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1-b+b·|d|/avgdl))
     with idf(t) = ln(1 + (N-df+0.5)/(df+0.5)).  The query term list is a
-    broadcast literal; everything else is the same two-shuffle shape as
-    :func:`tf_idf_terms`.
+    broadcast literal; the corpus is tokenized ONCE — document length,
+    per-term tf, and document frequency all derive from the same
+    materialized (id, term, tf) aggregate (see tf_idf_terms for why the
+    materialization is load-bearing: per-branch column pruning defeats
+    exchange reuse).
     """
     words = _word_explode(df, id_col, text_col)
-    doclen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    all_tf = words.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
+    doclen = all_tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = doclen.agg(
         F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
     )
-    qwords = words.where(F.col("term").isin(query_terms))
-    tf = qwords.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = qwords.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("df")
-    )
+    tf = all_tf.where(F.col("term").isin(query_terms))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         1
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
