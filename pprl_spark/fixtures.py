@@ -29,6 +29,7 @@ __all__ = [
     "make_wav_bytes",
     "make_mp4_bytes",
     "make_patterned_png_bytes",
+    "make_patterned_gif_bytes",
     "pixel_payload_row",
     "make_pixel_payloads",
     "image_payload_row",
@@ -251,23 +252,113 @@ def make_patterned_png_bytes(width: int, height: int, doc_id: int) -> bytes:
     )
 
 
-def pixel_payload_row(doc_id: int) -> dict:
-    return {
-        "doc_id": doc_id,
-        "payload": make_patterned_png_bytes(
-            16 + doc_id % 17, 16 + (doc_id * 3) % 13, doc_id
-        ),
-    }
+def _gif_lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    """REAL GIF LZW compression (giflib width conventions): clear/EOI
+    codes, dynamic string table to 12 bits, table-full → clear + reset.
+    The fixture uses a genuine encoder so the engine's decoder has to
+    implement actual LZW, not a stub-stream special case."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    # root codes 0..255 ARE the byte values; the dict holds only the
+    # dynamically-added (prefix_code, byte) → code strings
+    tbl: dict = {}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out_bits.append((clear, width))
+    prefix: int | None = None
+    for byte in data:
+        if prefix is None:
+            prefix = byte
+            continue
+        key = (prefix, byte)
+        if key in tbl:
+            prefix = tbl[key]
+            continue
+        out_bits.append((prefix, width))
+        if next_code < 4096:
+            tbl[key] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            prefix = byte
+        else:
+            out_bits.append((clear, width))
+            tbl = {}
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prefix = byte
+    if prefix is not None:
+        out_bits.append((prefix, width))
+    out_bits.append((eoi, width))
+    # LSB-first bit packing, then ≤255-byte sub-blocks
+    acc = n = 0
+    stream = bytearray()
+    for code, w in out_bits:
+        acc |= code << n
+        n += w
+        while n >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        stream.append(acc & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(stream), 255):
+        sub = stream[i : i + 255]
+        blocks.append(len(sub))
+        blocks += sub
+    blocks.append(0)
+    return bytes(blocks)
 
 
-def make_pixel_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id) → (doc_id, payload BINARY) patterned-PNG feed, distributed."""
+def make_patterned_gif_bytes(width: int, height: int, doc_id: int) -> bytes:
+    """Complete GIF89a whose pixel (r, c) equals
+    ``(doc_id + 7·r + 3·c) % 251`` — the SAME raster ground truth as the
+    patterned PNG, behind a 256-entry grayscale palette (index i → gray
+    i) and a real LZW-compressed image block."""
+    import struct
+
+    screen = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # 256-color GCT
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    indices = bytes(
+        (doc_id + 7 * r + 3 * c) % 251 for r in range(height) for c in range(width)
+    )
+    image = b"," + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    data = bytes([8]) + _gif_lzw_encode(indices, 8)
+    return b"GIF89a" + screen + palette + image + data + b";"
+
+
+def pixel_payload_row(doc_id: int, formats: tuple = ("png",)) -> dict:
+    """Patterned raster payload for ``doc_id``; ``formats`` cycles by
+    ``doc_id % len(formats)`` so a mixed feed alternates deterministically
+    (dims arithmetic is format-independent → one oracle dims CTE)."""
+    w, h = 16 + doc_id % 17, 16 + (doc_id * 3) % 13
+    fmt = formats[doc_id % len(formats)]
+    if fmt == "png":
+        payload = make_patterned_png_bytes(w, h, doc_id)
+    elif fmt == "gif":
+        payload = make_patterned_gif_bytes(w, h, doc_id)
+    else:
+        raise ValueError(f"unsupported patterned format {fmt!r}")
+    return {"doc_id": doc_id, "payload": payload}
+
+
+def make_pixel_payloads(
+    df: DataFrame, id_col: str = "doc_id", formats: tuple = ("png",)
+) -> DataFrame:
+    """(id) → (doc_id, payload BINARY) patterned-raster feed, distributed.
+    ``formats=("png", "gif")`` alternates real PNG and real GIF payloads
+    by id parity."""
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            yield pd.DataFrame([pixel_payload_row(int(i)) for i in pdf[id_col]])
+            yield pd.DataFrame(
+                [pixel_payload_row(int(i), formats) for i in pdf[id_col]]
+            )
 
     return df.select(id_col).mapInPandas(_gen, schema="doc_id long, payload binary")
 

@@ -10,6 +10,6 @@ from .bloom import BloomFilter  # noqa: F401
 from .cms import CountMinSketch  # noqa: F401
 from .hll import HyperLogLog  # noqa: F401
 from .kll import KLLSketch  # noqa: F401
-from .spark_agg import sketch_column, sketch_grouped  # noqa: F401
+from .spark_agg import sketch_column, sketch_column_with_exact, sketch_grouped  # noqa: F401
 from .tdigest import TDigest  # noqa: F401
 from .theta import ThetaSketch  # noqa: F401

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from .base import Sketch, deserialize
 
-__all__ = ["sketch_column", "sketch_grouped", "prepare_input"]
+__all__ = ["sketch_column", "sketch_column_with_exact", "sketch_grouped", "prepare_input"]
 
 
 def prepare_input(df: DataFrame, column: str, factory: Callable[[], Sketch]) -> DataFrame:
@@ -102,6 +102,55 @@ def sketch_column(df: DataFrame, column: str, factory: Callable[[], Sketch]) -> 
     for row in partial_rows:
         result.merge(deserialize(bytes(row["state"])))
     return result
+
+
+def sketch_column_with_exact(
+    df: DataFrame, column: str, factory: Callable[[], Sketch]
+) -> "tuple[Sketch, int]":
+    """Global sketch of one column PLUS the exact distinct count, in ONE
+    Spark job (one scan, one shuffle, one Python pass).
+
+    The projected hash column is hash-partitioned **by value**, so every
+    occurrence of a key lands in one partition and the per-partition
+    ``nunique`` counts sum to the true global distinct count — no second
+    ``countDistinct`` job over the source.  Each partition emits a single
+    (state, n_distinct) row; the driver merges ≤ #partitions KB-sized
+    states.  At 100 TB the shuffle carries only the 8-byte hash column and
+    the key-partitioning is exactly what ``countDistinct``'s own exchange
+    would do — the sketch partials ride along for free.
+
+    Only meaningful for hash-input sketches (HLL/theta); the exact count
+    is the count of distinct *xxhash64 values of the column*, collision-
+    equal to the column's distinct count (p ≈ d²/2⁶⁵)."""
+    prepared = df.filter(F.col(column).isNotNull()).select(
+        F.xxhash64(F.col(column)).alias("__in")
+    )
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    prepared = prepared.repartition(parallelism, "__in")
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        sk = factory()
+        uniq: list = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vals = pdf["__in"].to_numpy()
+            sk.update(vals)
+            # per-batch dedup keeps the accumulator at 8 B per distinct key
+            uniq.append(np.unique(vals))
+        if uniq:
+            n = int(np.unique(np.concatenate(uniq)).size)
+            yield pd.DataFrame([{"state": sk.serialize(), "n_distinct": n}])
+
+    rows = prepared.mapInPandas(_fn, schema="state binary, n_distinct long").collect()
+    result = factory()
+    exact = 0
+    for row in rows:
+        result.merge(deserialize(bytes(row["state"])))
+        exact += int(row["n_distinct"])
+    return result, exact
 
 
 def sketch_grouped(

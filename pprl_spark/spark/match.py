@@ -260,6 +260,15 @@ def match_files(
     names = list(files)
     if len(names) < 2:
         raise ValueError("multi-file matching requires at least two files")
+    if cfg.method == "pairwise" and lsh is not None:
+        # mirror the CLI guard here for direct API callers: the pairwise
+        # branch would otherwise silently discard the LSH blocking
+        # (ADVICE r3)
+        raise ValueError(
+            "cfg.method='pairwise' zips records positionally and cannot be "
+            "combined with LSH blocking; pass lsh=None or use a "
+            "similarity-threshold method"
+        )
     out: DataFrame | None = None
     for i, name_a in enumerate(names):
         for name_b in names[i + 1:]:

@@ -41,6 +41,8 @@ __all__ = [
     "decode_audio_features",
     "decode_video_features",
     "decode_png_pixels",
+    "decode_gif_pixels",
+    "decode_raster_pixels",
     "resize_nearest",
     "image_pixel_features",
     "sample_frames",
@@ -383,6 +385,133 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
     return out.reshape(height, width, channels)
 
 
+def _gif_lzw_decode(blocks: bytes, min_code_size: int) -> bytes:
+    """REAL GIF LZW decompression (giflib width conventions): LSB-first
+    bit stream, clear/EOI control codes, dynamic string table growing to
+    12-bit codes, KwKwK first-use case, table-full streams that defer the
+    clear code.  Pure stdlib."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    roots = [bytes([b]) for b in range(clear)]
+    tbl = list(roots)
+    tbl += [b""] * 2  # clear / EOI placeholders
+    width = min_code_size + 1
+    out = bytearray()
+    prev: int | None = None
+    acc = n = pos = 0
+    data = blocks
+    end = len(data)
+    while True:
+        while n < width:
+            if pos >= end:
+                return bytes(out)  # missing EOI: tolerate truncation
+            acc |= data[pos] << n
+            n += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        if code == clear:
+            tbl = list(roots) + [b""] * 2
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(tbl):
+                raise ValueError("corrupt GIF: first code not a root")
+            out += tbl[code]
+            prev = code
+            continue
+        if code < len(tbl):
+            entry = tbl[code]
+        elif code == len(tbl):
+            entry = tbl[prev] + tbl[prev][:1]  # KwKwK
+        else:
+            raise ValueError("corrupt GIF: code beyond table")
+        out += entry
+        if len(tbl) < 4096:
+            tbl.append(tbl[prev] + entry[:1])
+            # EARLY width change: the decoder's table trails the encoder's
+            # by one entry (the encoder adds immediately after emitting a
+            # code, the decoder only on reading the NEXT one), so the next
+            # code on the wire is already wide when our table holds
+            # 2^width − 1 entries — widen one add sooner than the
+            # encoder-side rule.
+            if len(tbl) + 1 == (1 << width) and width < 12:
+                width += 1
+        prev = code
+
+
+def decode_gif_pixels(payload: bytes) -> np.ndarray:
+    """REAL raster decode for non-interlaced GIF87a/89a frames with a
+    global palette: walk the block stream (skipping extensions), LZW-
+    decode the first image's index stream, map through the palette →
+    (height, width, channels) uint8.  A grayscale palette (r==g==b for
+    every used entry) collapses to one channel so the pixel features line
+    up with grayscale PNG output."""
+    width, height, _ = parse_gif_header(payload)
+    flags = payload[10]
+    if not flags & 0x80:
+        raise ValueError("GIF without a global color table not supported")
+    gct_n = 2 << (flags & 0x07)
+    palette = np.frombuffer(
+        payload[13 : 13 + gct_n * 3], dtype=np.uint8
+    ).reshape(gct_n, 3)
+    i = 13 + gct_n * 3
+    end = len(payload)
+    while i < end:
+        b = payload[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < end and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            import struct
+
+            ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, i + 1)
+            if iflags & 0x80:
+                raise ValueError("GIF local color tables not supported")
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            i += 10
+            min_code = payload[i]
+            i += 1
+            sub = bytearray()
+            while i < end and payload[i] != 0:
+                ln = payload[i]
+                sub += payload[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            indices = np.frombuffer(
+                _gif_lzw_decode(bytes(sub), min_code), dtype=np.uint8
+            )
+            if indices.shape[0] != iw * ih:
+                raise ValueError("corrupt GIF: raster size mismatch")
+            rgb = palette[indices].reshape(ih, iw, 3)
+            used = palette[: int(indices.max()) + 1]
+            if bool((used[:, 0] == used[:, 1]).all() and (used[:, 1] == used[:, 2]).all()):
+                return rgb[:, :, :1]
+            return rgb
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"corrupt GIF: unknown block 0x{b:02x}")
+        continue
+    raise ValueError("GIF contains no image data")
+
+
+def decode_raster_pixels(payload: bytes) -> "tuple[str, np.ndarray]":
+    """Magic-byte dispatch over the real raster decoders → (format,
+    pixel array)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png", decode_png_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif", decode_gif_pixels(payload)
+    raise ValueError("no raster decoder for this payload (PNG and GIF supported)")
+
+
 def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize with the floor index map
     src = (dst · src_size) // dst_size — integer-exact, SQL-mirrorable."""
@@ -393,7 +522,7 @@ def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 _PIXEL_FEATURE_SCHEMA = (
-    "doc_id long, width int, height int, n_channels int, "
+    "doc_id long, format string, width int, height int, n_channels int, "
     "mean_full double, mean_grid double, grid_sha256 string"
 )
 
@@ -404,10 +533,11 @@ def image_pixel_features(
     payload_col: str = "payload",
     grid: int = 8,
 ) -> DataFrame:
-    """REAL pixel-level features for PNG payloads: raster decode →
-    whole-image mean, nearest-resized grid mean, and the sha256 of the
-    resized grid bytes (a content fingerprint robust to re-encoding
-    filter choices, since decode undoes them)."""
+    """REAL pixel-level features for raster payloads (PNG zlib+defilter,
+    GIF LZW+palette — magic-byte dispatch): decode → whole-image mean,
+    nearest-resized grid mean, and the sha256 of the resized grid bytes
+    (a content fingerprint robust to container re-encoding, since decode
+    undoes filters/compression)."""
 
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -415,11 +545,12 @@ def image_pixel_features(
                 continue
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                px = decode_png_pixels(bytes(payload))
+                fmt, px = decode_raster_pixels(bytes(payload))
                 small = resize_nearest(px, grid, grid)
                 rows.append(
                     {
                         "doc_id": int(doc_id),
+                        "format": fmt,
                         "width": px.shape[1],
                         "height": px.shape[0],
                         "n_channels": px.shape[2],

@@ -177,6 +177,16 @@ class Pipeline:
                     shutil.rmtree(data_dir)
                 pending_path.write_text(json.dumps({"fp": lineage_fp}))
             out = stage.fn(self.spark, inputs)
+            if "chunk" in out.columns:
+                # the partition column injected below would silently
+                # overwrite it, and _read_stage_output drops it on read —
+                # user data destroyed with no error (ADVICE r3)
+                raise ValueError(
+                    f"stage `{stage.name}`: chunked stage outputs must not "
+                    "contain a column named `chunk` (reserved for the "
+                    "checkpoint partition layout); rename it or disable "
+                    "chunking for this stage"
+                )
             chunk_expr = F.pmod(F.xxhash64(F.col(stage.split_by)), F.lit(stage.num_chunks))
             missing = [
                 c for c in range(stage.num_chunks) if not self._chunk_complete(stage, c)

@@ -32,6 +32,11 @@ def hash_bucket(key: Column | str, num_buckets: int = 1_000_000,
     lane = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10
     ).cast("long") % F.lit(_MOD)
+    # NULL keys propagate NULL (md5(NULL) → NULL) — callers get a NULL
+    # bucket, NOT a silent assignment.  hash_sample's `<` predicate then
+    # drops NULL-key rows; hash_split turns NULL buckets into a NULL
+    # split index (ADVICE r3: previously every `when` was NULL and the
+    # `otherwise` silently dumped NULL keys into the LAST split).
     return (lane % F.lit(num_buckets)).cast("int")
 
 
@@ -51,7 +56,12 @@ def hash_split(df: DataFrame, key: Column | str, weights: list[float],
     """Append a deterministic split index column (0..len(weights)−1) with
     the given proportions — train/val/test splits that survive recompute,
     repartition, and incremental appends (a new row lands in the same
-    split forever)."""
+    split forever).
+
+    A NULL key gets a NULL split index (consistent with ``hash_sample``,
+    which drops NULL-key rows) — the caller must decide what a keyless
+    row means; silently assigning it to a split would skew the last
+    split's proportion (ADVICE r3)."""
     if any(w < 0 for w in weights) or abs(sum(weights) - 1.0) > 1e-9:
         raise ValueError(f"weights must be non-negative and sum to 1, got {weights}")
     buckets = 1_000_000
@@ -64,4 +74,7 @@ def hash_split(df: DataFrame, key: Column | str, weights: list[float],
         expr = F.when(cond, i) if expr is None else expr.when(cond, i)
     expr = (F.lit(len(weights) - 1) if expr is None
             else expr.otherwise(len(weights) - 1))
+    # guard BEFORE the otherwise-branch: a NULL bucket must not fall
+    # through to the last split
+    expr = F.when(b.isNull(), F.lit(None)).otherwise(expr)
     return df.withColumn(split_col, expr.cast("int"))

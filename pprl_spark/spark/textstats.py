@@ -188,7 +188,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """Okapi BM25 of a fixed query against every document.
+    """Okapi BM25 of a fixed query, scored over matching documents.
 
     score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1-b+b·|d|/avgdl))
     with idf(t) = ln(1 + (N-df+0.5)/(df+0.5)).  The query term list is a
@@ -197,6 +197,13 @@ def bm25_scores(
     materialized (id, term, tf) aggregate (see tf_idf_terms for why the
     materialization is load-bearing: per-branch column pruning defeats
     exchange reuse).
+
+    Output contains ONE ROW PER DOCUMENT THAT MATCHES ≥1 QUERY TERM —
+    documents containing none of the terms (or with empty text) produce
+    no row rather than a 0.0 score (ADVICE r3).  That is the posting-list
+    shape a retrieval caller wants at scale (score rows ∝ matches, not
+    corpus size); to densify, left-join the corpus ids against this
+    result and ``coalesce(bm25, 0.0)``.
     """
     words = _word_explode(df, id_col, text_col)
     all_tf = words.groupBy(id_col, "term").agg(

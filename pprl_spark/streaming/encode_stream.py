@@ -85,10 +85,16 @@ def streaming_dedup_exact(
     128-bit key, so a 10^12-row stream gets the same collision margin)."""
     if not stream_df.isStreaming:
         raise ValueError("streaming_dedup_exact expects a streaming DataFrame")
+    # Salt literal FIRST (mirrors batch exact_dedup, spark/dedup.py): Spark
+    # folds multi-arg xxhash64 left-to-right with the running hash as the
+    # seed, so a trailing salt (`xxhash64(content, 1)`) is a pure function
+    # of the first lane — any __k1 collision would imply a __k2 collision,
+    # degrading the key to 64 bits (ADVICE r3).  A LEADING salt perturbs
+    # the seed before the content is hashed, giving an independent lane.
     keyed = stream_df.withColumns(
         {
             "__k1": F.xxhash64(F.col(content_col)),
-            "__k2": F.xxhash64(F.col(content_col), F.lit(1)),
+            "__k2": F.xxhash64(F.lit(0x9E3779B9), F.col(content_col)),
         }
     )
     return (

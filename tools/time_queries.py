@@ -11,7 +11,7 @@ names = sys.argv[2:] or [
     "events_top_type_per_user","token_frequencies","ngram_entropy","dedup_exact",
     "text_quality","fingerprint_md5","embedding_topk","minhash_dedup_pairs",
     "simhash_dup_pairs","pprl_mask_documents","pprl_match_lsh","hll_distinct_users",
-    "cms_event_type_counts","kll_value_quantiles","tdigest_value_quantiles"]
+    "cms_event_type_counts","quantile_sketches"]
 q = E.queries()
 for n in names:
     t0 = time.monotonic()
