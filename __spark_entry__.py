@@ -832,22 +832,25 @@ def multimodal_audio(spark, sf_dir):
 
 
 def multimodal_pixels(spark, sf_dir):
-    """REAL pixel-level decode + resize for TWO raster formats: even
-    doc_ids carry patterned grayscale PNGs (zlib + all-5-filters undo),
-    odd doc_ids the SAME pattern as real LZW-compressed GIFs
-    (spark/multimodal.decode_gif_pixels — string-table LZW with width
-    growth, clear/EOI, palette mapping; new r4, VERDICT r3 #5).  Pixel
-    (r,c) = (doc_id + 7r + 3c) % 251 either way; decoded rasters are
-    nearest-resized to 8×8 and reduced to means.  The oracle recomputes
-    both means straight from the pattern arithmetic — a filter-undo,
-    LZW, palette, or resize-index bug breaks the hash."""
+    """REAL pixel-level decode + resize for THREE raster formats, cycling
+    by doc_id % 3: patterned grayscale PNGs (zlib + all-5-filters undo),
+    the same per-pixel pattern as real LZW-compressed GIFs
+    (decode_gif_pixels — string-table LZW with width growth, clear/EOI,
+    KwKwK; new r4, VERDICT r3 #5), and baseline JPEGs
+    (decode_jpeg_pixels — DHT Huffman, entropy decode with byte
+    un-stuffing, DC prediction, dequantize, IDCT; new r4).  The JPEG
+    pattern is per-8×8-block constant — DC-only blocks survive the lossy
+    codec bit-exactly — so all three decoders reduce to SQL-reproducible
+    means.  Decoded rasters are nearest-resized to 8×8 and reduced to
+    means; a filter-undo, LZW, Huffman, IDCT, or resize-index bug breaks
+    the hash."""
     from pprl_spark.fixtures import make_pixel_payloads
     from pprl_spark.spark.multimodal import image_pixel_features
 
     docs = _load(spark, sf_dir, "documents").select("doc_id")
-    payloads = make_pixel_payloads(docs, formats=("png", "gif")).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    payloads = make_pixel_payloads(
+        docs, formats=("png", "gif", "jpeg")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     feats = image_pixel_features(payloads, grid=8)
     return feats.select(
         "doc_id", "format", "width", "height",
@@ -2227,29 +2230,43 @@ def oracle_sql() -> dict[str, str]:
                         END AS INT) AS n_channels
             FROM documents
         """,
+        # pattern: per-pixel for png/gif, per-8x8-block for jpeg (DC-only
+        # blocks survive the lossy codec exactly); dims arithmetic also
+        # branches on format (jpeg needs multiples of 8)
         "multimodal_pixels": """
             WITH dims AS (
               SELECT doc_id,
-                     CAST(16 + doc_id % 17 AS INT) AS w,
-                     CAST(16 + (doc_id * 3) % 13 AS INT) AS h
+                     CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                                     ELSE 'jpeg' END AS fmt,
+                     CAST(CASE WHEN doc_id % 3 = 2
+                          THEN 8 * (2 + doc_id % 5)
+                          ELSE 16 + doc_id % 17 END AS INT) AS w,
+                     CAST(CASE WHEN doc_id % 3 = 2
+                          THEN 8 * (2 + (doc_id * 3) % 4)
+                          ELSE 16 + (doc_id * 3) % 13 END AS INT) AS h
               FROM documents
             ), full_mean AS (
-              SELECT d.doc_id, avg((d.doc_id + 7 * r.r + 3 * c.c) % 251) AS mf
+              SELECT d.doc_id,
+                     avg(CASE WHEN d.fmt = 'jpeg'
+                         THEN (d.doc_id + 7 * (r.r // 8) + 3 * (c.c // 8)) % 251
+                         ELSE (d.doc_id + 7 * r.r + 3 * c.c) % 251 END) AS mf
               FROM dims d
-              JOIN (SELECT unnest(range(0, 28)) AS r) r ON r.r < d.h
-              JOIN (SELECT unnest(range(0, 33)) AS c) c ON c.c < d.w
+              JOIN (SELECT unnest(range(0, 40)) AS r) r ON r.r < d.h
+              JOIN (SELECT unnest(range(0, 48)) AS c) c ON c.c < d.w
               GROUP BY d.doc_id
             ), grid_mean AS (
               SELECT d.doc_id,
-                     avg((d.doc_id + 7 * ((i.i * d.h) // 8)
-                          + 3 * ((j.j * d.w) // 8)) % 251) AS mg
+                     avg(CASE WHEN d.fmt = 'jpeg'
+                         THEN (d.doc_id + 7 * (((i.i * d.h) // 8) // 8)
+                               + 3 * (((j.j * d.w) // 8) // 8)) % 251
+                         ELSE (d.doc_id + 7 * ((i.i * d.h) // 8)
+                               + 3 * ((j.j * d.w) // 8)) % 251 END) AS mg
               FROM dims d
               CROSS JOIN (SELECT unnest(range(0, 8)) AS i) i
               CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
               GROUP BY d.doc_id
             )
-            SELECT d.doc_id,
-                   CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
+            SELECT d.doc_id, d.fmt AS format,
                    d.w AS width, d.h AS height,
                    round(f.mf, 6) AS mean_full_6dp,
                    round(g.mg, 6) AS mean_grid_6dp

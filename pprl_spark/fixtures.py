@@ -30,6 +30,8 @@ __all__ = [
     "make_mp4_bytes",
     "make_patterned_png_bytes",
     "make_patterned_gif_bytes",
+    "make_patterned_jpeg_bytes",
+    "make_jpeg_from_quantized",
     "pixel_payload_row",
     "make_pixel_payloads",
     "image_payload_row",
@@ -330,18 +332,170 @@ def make_patterned_gif_bytes(width: int, height: int, doc_id: int) -> bytes:
     return b"GIF89a" + screen + palette + image + data + b";"
 
 
+# ---------------------------------------------------------------- JPEG fixture
+#
+# A REAL baseline-JPEG encoder (grayscale, 8-bit): forward DCT →
+# quantize → zigzag → Huffman entropy coding with byte stuffing.  The
+# Huffman tables are simple canonical codes (12 DC symbols at 4 bits,
+# all 162 AC symbols at 8 bits) declared in the DHT segment — spec-
+# conformant, and the decoder must build its tables from DHT exactly as
+# for any real-world file.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_JPEG_DC_SYMBOLS = list(range(12))  # categories 0..11, all 4-bit codes
+_JPEG_AC_SYMBOLS = (
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)  # EOB, ZRL, and every (run, size) — all 8-bit codes
+
+
+def _jpeg_canonical(symbols: list, length: int) -> dict:
+    return {sym: (i, length) for i, sym in enumerate(symbols)}
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _jpeg_encode_blocks(blocks, writer: _JpegBitWriter, n_components: int = 1):
+    """Entropy-code a sequence of 64-int quantized-coefficient blocks
+    (natural order) with the fixture's canonical tables.  For
+    ``n_components`` > 1 the blocks are MCU-interleaved (c0, c1, …, c0,
+    c1, …) and DC prediction runs per component."""
+    dc_tbl = _jpeg_canonical(_JPEG_DC_SYMBOLS, 4)
+    ac_tbl = _jpeg_canonical(_JPEG_AC_SYMBOLS, 8)
+    preds = [0] * n_components
+    for bi, blk in enumerate(blocks):
+        ci = bi % n_components
+        diff = blk[0] - preds[ci]
+        preds[ci] = blk[0]
+        t = _jpeg_category(diff)
+        code, ln = dc_tbl[t]
+        writer.put(code, ln)
+        if t:
+            writer.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        zz = [blk[_ZIGZAG[k]] for k in range(64)]
+        run = 0
+        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_tbl[0xF0]
+                writer.put(code, ln)
+                run -= 16
+            s = _jpeg_category(zz[k])
+            code, ln = ac_tbl[(run << 4) | s]
+            writer.put(code, ln)
+            writer.put(zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_tbl[0x00]
+            writer.put(code, ln)  # EOB
+
+
+def make_jpeg_from_quantized(
+    width: int, height: int, blocks, n_components: int = 1
+) -> bytes:
+    """Assemble a complete baseline JPEG from quantized DCT coefficient
+    blocks (row-major over ceil dims, MCU-interleaved when
+    ``n_components`` > 1, 64 ints each, natural order), quant table
+    all-ones, 4:4:4 sampling."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes([1] * 64))
+    comp_spec = b"".join(bytes([c + 1, 0x11, 0]) for c in range(n_components))
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, n_components) + comp_spec,
+    )
+    dc_counts = [0] * 16
+    dc_counts[3] = len(_JPEG_DC_SYMBOLS)  # all 4-bit (index 3 = length 4)
+    ac_counts = [0] * 16
+    ac_counts[7] = len(_JPEG_AC_SYMBOLS)  # all 8-bit
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(dc_counts) + bytes(_JPEG_DC_SYMBOLS)
+        + bytes([0x10]) + bytes(ac_counts) + bytes(_JPEG_AC_SYMBOLS),
+    )
+    scan_spec = b"".join(bytes([c + 1, 0x00]) for c in range(n_components))
+    sos = seg(0xFFDA, bytes([n_components]) + scan_spec + bytes([0, 63, 0]))
+    w = _JpegBitWriter()
+    _jpeg_encode_blocks(blocks, w, n_components)
+    return b"\xff\xd8" + dqt + sof + dht + sos + w.flush() + b"\xff\xd9"
+
+
+def make_patterned_jpeg_bytes(width: int, height: int, doc_id: int) -> bytes:
+    """Complete grayscale baseline JPEG whose pixels are EXACTLY
+    ``(doc_id + 7·(r//8) + 3·(c//8)) % 251`` — 8×8-constant blocks carry
+    only a DC coefficient (DC = 8·(v−128), AC = 0), which survives
+    quantize(1)→IDCT bit-exactly, so a lossy codec still yields SQL-
+    reproducible raster ground truth.  ``width``/``height`` must be
+    multiples of 8 (no partial-block edge semantics)."""
+    if width % 8 or height % 8:
+        raise ValueError("patterned JPEG dims must be multiples of 8")
+    blocks = []
+    for bR in range(height // 8):
+        for bC in range(width // 8):
+            v = (doc_id + 7 * bR + 3 * bC) % 251
+            blk = [0] * 64
+            blk[0] = 8 * (v - 128)
+            blocks.append(blk)
+    return make_jpeg_from_quantized(width, height, blocks)
+
+
 def pixel_payload_row(doc_id: int, formats: tuple = ("png",)) -> dict:
     """Patterned raster payload for ``doc_id``; ``formats`` cycles by
-    ``doc_id % len(formats)`` so a mixed feed alternates deterministically
-    (dims arithmetic is format-independent → one oracle dims CTE)."""
-    w, h = 16 + doc_id % 17, 16 + (doc_id * 3) % 13
+    ``doc_id % len(formats)`` so a mixed feed alternates deterministically.
+    PNG/GIF share one dims arithmetic; JPEG needs multiple-of-8 dims (its
+    pattern is per-8×8-block — lossy-codec-exact, see
+    make_patterned_jpeg_bytes), so its dims arithmetic differs and the
+    oracle branches on format."""
     fmt = formats[doc_id % len(formats)]
-    if fmt == "png":
-        payload = make_patterned_png_bytes(w, h, doc_id)
-    elif fmt == "gif":
-        payload = make_patterned_gif_bytes(w, h, doc_id)
+    if fmt == "jpeg":
+        w, h = 8 * (2 + doc_id % 5), 8 * (2 + (doc_id * 3) % 4)
+        payload = make_patterned_jpeg_bytes(w, h, doc_id)
     else:
-        raise ValueError(f"unsupported patterned format {fmt!r}")
+        w, h = 16 + doc_id % 17, 16 + (doc_id * 3) % 13
+        if fmt == "png":
+            payload = make_patterned_png_bytes(w, h, doc_id)
+        elif fmt == "gif":
+            payload = make_patterned_gif_bytes(w, h, doc_id)
+        else:
+            raise ValueError(f"unsupported patterned format {fmt!r}")
     return {"doc_id": doc_id, "payload": payload}
 
 

@@ -325,3 +325,183 @@ def test_image_pixel_features_mixed_formats(spark):
         # identical pattern → identical means across container formats
         expect_w, expect_h = 16 + i % 17, 16 + (i * 3) % 13
         assert (r["width"], r["height"]) == (expect_w, expect_h)
+
+
+# ---------------------------------------------------------------------------
+# round-4: real baseline-JPEG raster decode
+# ---------------------------------------------------------------------------
+
+def test_jpeg_idct_matrix_normalization():
+    """The scaled IDCT basis is orthonormal (A·Aᵀ = I), and a DC-only
+    block IDCTs to the constant DC/8 — pins the normalization
+    independent of the codec roundtrip tests."""
+    import numpy as np
+
+    from pprl_spark.spark.multimodal import _idct_matrix
+
+    a = _idct_matrix()
+    assert np.allclose(a @ a.T, np.eye(8), atol=1e-12)
+    S = np.zeros((8, 8))
+    S[0, 0] = 8 * 57
+    assert np.allclose(a.T @ S @ a, np.full((8, 8), 57.0), atol=1e-9)
+
+
+def test_jpeg_dc_only_pattern_exact():
+    import numpy as np
+
+    from pprl_spark.fixtures import make_patterned_jpeg_bytes
+    from pprl_spark.spark.multimodal import decode_jpeg_pixels
+
+    for doc_id in (0, 1, 7, 42, 199):
+        w, h = 8 * (2 + doc_id % 5), 8 * (2 + (doc_id * 3) % 4)
+        px = decode_jpeg_pixels(make_patterned_jpeg_bytes(w, h, doc_id))
+        expect = np.array(
+            [[(doc_id + 7 * (r // 8) + 3 * (c // 8)) % 251 for c in range(w)]
+             for r in range(h)],
+            dtype=np.uint8,
+        )[:, :, None]
+        assert px.shape == (h, w, 1)
+        assert np.array_equal(px, expect)
+
+
+def _reference_decode(blocks, w, h):
+    import numpy as np
+
+    from pprl_spark.spark.multimodal import _idct_matrix
+
+    a = _idct_matrix()
+    out = np.zeros((h, w))
+    for i, blk in enumerate(blocks):
+        bR, bC = divmod(i, w // 8)
+        S = np.array(blk, dtype=float).reshape(8, 8)
+        out[bR * 8 : bR * 8 + 8, bC * 8 : bC * 8 + 8] = a.T @ S @ a
+    return np.clip(np.round(out + 128.0), 0, 255).astype("uint8")
+
+
+def test_jpeg_ac_coefficients_roundtrip():
+    """Random sparse AC coefficients through encode → Huffman decode →
+    dequantize → IDCT must equal the reference IDCT of the same
+    coefficients: exercises run-length/ZRL/EOB codes, category bits, DC
+    prediction, and byte stuffing."""
+    import numpy as np
+
+    from pprl_spark.fixtures import make_jpeg_from_quantized
+    from pprl_spark.spark.multimodal import decode_jpeg_pixels
+
+    rng = np.random.RandomState(3)
+    w, h = 32, 24
+    blocks = []
+    for _ in range((w // 8) * (h // 8)):
+        blk = np.zeros(64, dtype=int)
+        blk[0] = int(rng.randint(-900, 900))
+        for _ in range(12):
+            blk[rng.randint(1, 64)] = int(rng.randint(-255, 255))
+        # force a >16-zero run so ZRL (0xF0) is actually emitted
+        blk[1:40] = 0
+        blk[45] = 33
+        blocks.append(blk.tolist())
+    px = decode_jpeg_pixels(make_jpeg_from_quantized(w, h, blocks))
+    assert np.array_equal(px[:, :, 0], _reference_decode(blocks, w, h))
+
+
+def test_jpeg_color_444_ycbcr():
+    import numpy as np
+
+    from pprl_spark.fixtures import make_jpeg_from_quantized
+    from pprl_spark.spark.multimodal import decode_jpeg_pixels
+
+    # one MCU, DC-only per component: Y=200, Cb=100, Cr=180 everywhere
+    def dc_block(v):
+        blk = [0] * 64
+        blk[0] = 8 * (v - 128)
+        return blk
+
+    payload = make_jpeg_from_quantized(
+        8, 8, [dc_block(200), dc_block(100), dc_block(180)], n_components=3
+    )
+    px = decode_jpeg_pixels(payload)
+    assert px.shape == (8, 8, 3)
+    y, cb, cr = 200.0, 100.0, 180.0
+
+    def clip8(v):
+        return int(min(255, max(0, round(v))))
+
+    expect = (
+        clip8(y + 1.402 * (cr - 128)),       # 272.9 → clipped 255
+        clip8(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+        clip8(y + 1.772 * (cb - 128)),
+    )
+    assert tuple(px[3, 3]) == expect
+
+
+def test_jpeg_restart_markers():
+    """DRI + RSTn: DC predictors reset and the bit stream re-aligns at
+    each restart — decoded raster must equal the no-restart encoding of
+    the same coefficients."""
+    import struct
+
+    import numpy as np
+
+    from pprl_spark.fixtures import (_JpegBitWriter, _jpeg_encode_blocks,
+                                     make_jpeg_from_quantized)
+    from pprl_spark.spark.multimodal import decode_jpeg_pixels
+
+    w, h = 32, 8  # 4 MCUs, restart interval 2
+    blocks = []
+    for i in range(4):
+        blk = [0] * 64
+        blk[0] = 8 * ((40 * i + 17) - 128)
+        blk[9] = 5 + i
+        blocks.append(blk)
+    plain = make_jpeg_from_quantized(w, h, blocks)
+    expect = decode_jpeg_pixels(plain)
+
+    # rebuild the same file with DRI=2 and an RST0 between the halves
+    wr1, wr2 = _JpegBitWriter(), _JpegBitWriter()
+    _jpeg_encode_blocks(blocks[:2], wr1)
+    _jpeg_encode_blocks(blocks[2:], wr2)  # fresh writer = fresh DC pred
+    sos_at = plain.index(b"\xff\xda")
+    sos_len = int.from_bytes(plain[sos_at + 2 : sos_at + 4], "big")
+    head = plain[: sos_at + 2 + sos_len]
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 2)
+    restarted = (
+        head[:2] + dri + head[2:]  # DRI right after SOI
+        + wr1.flush() + b"\xff\xd0" + wr2.flush() + b"\xff\xd9"
+    )
+    px = decode_jpeg_pixels(restarted)
+    assert np.array_equal(px, expect)
+
+
+def test_jpeg_rejects_unsupported():
+    import pytest as _pytest
+
+    from pprl_spark.fixtures import make_jpeg_bytes
+    from pprl_spark.spark.multimodal import decode_jpeg_pixels
+
+    with _pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg_pixels(make_jpeg_bytes(16, 16, progressive=True))
+    with _pytest.raises(ValueError, match="subsampled"):
+        decode_jpeg_pixels(make_jpeg_bytes(16, 16, n_components=3))
+    # headers-only stream (everything before SOS, then EOI): no scan
+    from pprl_spark.fixtures import make_patterned_jpeg_bytes
+
+    full = make_patterned_jpeg_bytes(16, 16, 5)
+    headers_only = full[: full.index(b"\xff\xda")] + b"\xff\xd9"
+    with _pytest.raises(ValueError, match="no scan data"):
+        decode_jpeg_pixels(headers_only)
+
+
+def test_image_pixel_features_three_formats(spark):
+    from pprl_spark.fixtures import make_pixel_payloads
+    from pprl_spark.spark.multimodal import image_pixel_features
+
+    docs = spark.range(30).selectExpr("id AS doc_id")
+    payloads = make_pixel_payloads(docs, formats=("png", "gif", "jpeg"))
+    rows = image_pixel_features(payloads, grid=4).collect()
+    assert len(rows) == 30
+    fmts = {r["doc_id"] % 3 for r in rows if r["format"] == "jpeg"}
+    assert fmts == {2}
+    for r in rows:
+        if r["format"] == "jpeg":
+            i = r["doc_id"]
+            assert (r["width"], r["height"]) == (8 * (2 + i % 5), 8 * (2 + (i * 3) % 4))
