@@ -709,6 +709,36 @@ def langid_documents(spark, sf_dir):
     return docs.select("doc_id", lang_id_col(F.col("text")).alias("lang_pred"))
 
 
+def quality_filter(spark, sf_dir):
+    """Config-driven quality-filter pipeline (spark/quality.py, new r4):
+    token-count band + heuristic quality + language allowlist + Gopher-
+    style repetition signals (duplicate-word fraction as a pure Catalyst
+    expression; top-bigram fraction via a linear explode + hash
+    aggregate) → keep / first-failing-reason per document.  Thresholds
+    tuned so the sf corpus exercises 'ok' and several reject classes."""
+    from pprl_spark.spark.quality import FilterRules, filter_documents
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = filter_documents(
+        docs,
+        FilterRules(
+            min_tokens=12,
+            max_tokens=60,
+            min_quality=0.5,
+            allowed_langs=("en", "de", "fr", "es"),
+            max_dup_word_fraction=0.55,
+            max_top_bigram_fraction=0.12,
+        ),
+    )
+    return out.select(
+        "doc_id", "n_tokens", "lang_pred",
+        F.round("quality", 6).alias("quality_6dp"),
+        F.round("dup_word_fraction", 6).alias("dup_word_frac_6dp"),
+        F.round("top_bigram_fraction", 6).alias("top_bigram_frac_6dp"),
+        "keep", "reject_reason",
+    )
+
+
 def ann_topk(spark, sf_dir):
     """Both approximate-nearest-neighbor paths — SRP-LSH buckets with
     multi-probe (ann.lsh_topk) and IVF cells (ann.ivf_topk) — in one
@@ -1222,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": events_sessionized,
         "tfidf_top_terms": tfidf_top_terms,
         "bm25_query_scores": bm25_query_scores,
+        "quality_filter": quality_filter,
         "ann_topk": ann_topk,
         "embedding_dup_pairs": embedding_dup_pairs,
     }
@@ -1682,6 +1713,60 @@ SELECT doc_id,
             ELSE {lang_list}[CAST(list_position(scores, list_aggregate(scores, 'max')) AS INT)]
        END AS lang_pred
 FROM s
+"""
+
+
+def _sql_quality_filter() -> str:
+    """Mirror of quality.filter_documents at the driver query's rules:
+    signals recomputed from scratch in SQL (words/bigram lists, Gopher
+    repetition fractions, the 3-band heuristic quality), language via the
+    same argmax-stopword construction as _sql_langid, reasons in the same
+    first-failing order."""
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+), sig AS (
+  SELECT doc_id, text, words,
+         CAST(length(words) AS BIGINT) AS n_tokens,
+         CASE WHEN length(words) = 0 THEN 0.0
+              ELSE 1.0 - length(list_distinct(words)) / length(words)::DOUBLE
+         END AS dwf,
+         [words[CAST(i AS INT)] || ' ' || words[CAST(i + 1 AS INT)]
+          FOR i IN range(1, length(words))] AS bg
+  FROM base
+), sig2 AS (
+  SELECT doc_id, n_tokens, dwf,
+         CASE WHEN length(bg) = 0 THEN 0.0
+              ELSE list_max([length(list_filter(bg, y -> y = x))
+                             FOR x IN list_distinct(bg)])
+                   / length(bg)::DOUBLE
+         END AS tbf,
+         ((CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+                       / greatest(length(text), 1)::DOUBLE <= 0.2 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN length(text)::DOUBLE / greatest(length(words), 1)
+                  BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
+  FROM sig
+), lang AS ({_sql_langid()}), decided AS (
+  SELECT s.doc_id, s.n_tokens, l.lang_pred, s.quality, s.dwf, s.tbf,
+         CASE WHEN s.n_tokens < 12 THEN 'too_short'
+              WHEN s.n_tokens > 60 THEN 'too_long'
+              WHEN s.quality < 0.5 THEN 'low_quality'
+              WHEN l.lang_pred NOT IN ('en', 'de', 'fr', 'es') THEN 'lang'
+              WHEN s.dwf > 0.55 THEN 'repetition_words'
+              WHEN s.tbf > 0.12 THEN 'repetition_bigram'
+              ELSE 'ok' END AS reject_reason
+  FROM sig2 s JOIN lang l ON l.doc_id = s.doc_id
+)
+SELECT doc_id, n_tokens, lang_pred,
+       round(quality, 6) AS quality_6dp,
+       round(dwf, 6) AS dup_word_frac_6dp,
+       round(tbf, 6) AS top_bigram_frac_6dp,
+       (reject_reason = 'ok') AS keep,
+       reject_reason
+FROM decided
 """
 
 
@@ -2212,6 +2297,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionized": _SQL_SESSIONS,
         "tfidf_top_terms": _sql_tfidf_top_terms(),
         "bm25_query_scores": _sql_bm25(),
+        "quality_filter": _sql_quality_filter(),
         "multimodal_decode": _sql_multimodal(),
         # ground truth for the REAL decoder: the payload builder's id
         # arithmetic (fixtures.image_payload_row), independent of the

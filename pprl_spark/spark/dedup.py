@@ -150,12 +150,23 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket_size: int | None = None,
+    df_other: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
     rows-per-band r = num_hashes/bands; collision prob of a pair with
     Jaccard s is 1-(1-s^r)^b.  Output: (id_a, id_b) with id_a < id_b,
     deduplicated.  Feed to :func:`jaccard_verify` for the exact check.
+
+    ``df_other`` switches to CROSS-CORPUS mode — the incremental-ingest
+    shape (dedup a new batch AGAINST an existing corpus without
+    re-pairing the corpus with itself): ``id_a`` comes from ``df``,
+    ``id_b`` from ``df_other`` (same ``id_col``/``text_col`` names), both
+    sides banded with the SAME hash family so buckets are comparable, and
+    the ``id_a < id_b`` self-pair filter is skipped.  At 100 TB the batch
+    side is typically orders of magnitude smaller than the corpus: its
+    banded rows are slim (id, band, bucket) triples, and the equi-join
+    shuffles only ids — the corpus text never moves.
 
     Plan shape: tokenize once → explode → ``num_hashes`` map-side-combined
     ``min`` aggregations keyed on the (uniform) doc id — one shuffle whose
@@ -165,56 +176,67 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    # raw windows, duplicates kept: a duplicate gram cannot change any
-    # min_j, and exploding the distinct array would re-evaluate the dedup
-    # per output row (see qgram_raw_windows)
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(qgram_raw_windows(F.col(text_col), q)).alias("__t"),
-    )
-    hexed = toks.select("__id", F.md5("__t").alias("__hx"))
-    h1, h2 = _minhash_lanes(F.col("__hx"))
-    lanes = hexed.select("__id", h1.alias("__h1"), h2.alias("__h2"))
     coeffs = minhash_coefficients(num_hashes)
-    sig = lanes.groupBy("__id").agg(
-        *[
-            F.min(
-                (F.lit(a) * F.col("__h1") + F.lit(b) * F.col("__h2") + F.lit(j))
-                % F.lit(_MERSENNE31)
-            ).alias(f"h{j}")
-            for j, (a, b) in enumerate(coeffs)
-        ]
-    )
-    # band bucket = md5 of the band's r mins — an engine-independent key
-    # (the former xxhash64 fold is not reproducible in the SQL oracle).
-    # The key array is computed BELOW the id-keyed exchange: the exchange
-    # (1) materializes it so the posexplode Generate reads an attribute
-    # instead of re-evaluating 16 md5s per output row, and (2) lets the
-    # band self-join's two sides reuse ONE signature computation
-    # (AQE ReusedExchange) instead of re-running the whole pipeline.
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    keys = sig.select(
-        "__id",
-        F.array(
-            *[
-                F.md5(F.concat_ws("_", *[F.col(f"h{band * r + k}") for k in range(r)]))
-                for band in range(bands)
-            ]
-        ).alias("__keys"),
-    ).repartition(n_parts, "__id")
-    banded = keys.select("__id", F.posexplode("__keys").alias("band", "bucket"))
-    if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
-        banded = banded.join(
-            sizes.filter(F.col("__n") <= max_bucket_size).drop("__n"),
-            on=["band", "bucket"],
-            how="inner",
+
+    def _banded(frame: DataFrame) -> DataFrame:
+        # raw windows, duplicates kept: a duplicate gram cannot change any
+        # min_j, and exploding the distinct array would re-evaluate the
+        # dedup per output row (see qgram_raw_windows)
+        toks = frame.select(
+            F.col(id_col).alias("__id"),
+            F.explode(qgram_raw_windows(F.col(text_col), q)).alias("__t"),
         )
+        hexed = toks.select("__id", F.md5("__t").alias("__hx"))
+        h1, h2 = _minhash_lanes(F.col("__hx"))
+        lanes = hexed.select("__id", h1.alias("__h1"), h2.alias("__h2"))
+        sig = lanes.groupBy("__id").agg(
+            *[
+                F.min(
+                    (F.lit(a) * F.col("__h1") + F.lit(b) * F.col("__h2") + F.lit(j))
+                    % F.lit(_MERSENNE31)
+                ).alias(f"h{j}")
+                for j, (a, b) in enumerate(coeffs)
+            ]
+        )
+        # band bucket = md5 of the band's r mins — an engine-independent
+        # key (the former xxhash64 fold is not reproducible in the SQL
+        # oracle).  The key array is computed BELOW the id-keyed exchange:
+        # the exchange (1) materializes it so the posexplode Generate
+        # reads an attribute instead of re-evaluating 16 md5s per output
+        # row, and (2) lets the band self-join's two sides reuse ONE
+        # signature computation (AQE ReusedExchange) instead of re-running
+        # the whole pipeline.
+        keys = sig.select(
+            "__id",
+            F.array(
+                *[
+                    F.md5(F.concat_ws("_", *[F.col(f"h{band * r + k}") for k in range(r)]))
+                    for band in range(bands)
+                ]
+            ).alias("__keys"),
+        ).repartition(n_parts, "__id")
+        banded = keys.select("__id", F.posexplode("__keys").alias("band", "bucket"))
+        if max_bucket_size is not None:
+            sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+            banded = banded.join(
+                sizes.filter(F.col("__n") <= max_bucket_size).drop("__n"),
+                on=["band", "bucket"],
+                how="inner",
+            )
+        return banded
+
+    banded = _banded(df)
     left = banded.withColumnRenamed("__id", "id_a")
-    right = banded.withColumnRenamed("__id", "id_b")
+    if df_other is None:
+        right = banded.withColumnRenamed("__id", "id_b")
+        pair_filter = F.col("id_a") < F.col("id_b")
+    else:
+        right = _banded(df_other).withColumnRenamed("__id", "id_b")
+        pair_filter = F.lit(True)
     return (
         left.join(right, on=["band", "bucket"], how="inner")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_filter)
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )

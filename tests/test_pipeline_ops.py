@@ -193,8 +193,11 @@ def test_multimodal_real_decoder_parses_png_and_jpeg(spark):
     assert (feats[1]["format"], feats[1]["width"], feats[1]["height"], feats[1]["n_channels"]) == ("png", 320, 200, 3)
     assert (feats[2]["format"], feats[2]["width"], feats[2]["height"], feats[2]["n_channels"]) == ("jpeg", 640, 480, 3)
     assert (feats[3]["format"], feats[3]["width"], feats[3]["height"], feats[3]["n_channels"]) == ("png", 12, 999, 1)
-    # headers only — no raster decode, so no pixel-derived embedding
-    assert all(f["embedding"] is None for f in feats.values())
+    # complete PNGs now raster-decode (r4): zero-filled fixtures give the
+    # all-zero 16-dim grid embedding; the header-only JPEG stays null
+    assert feats[1]["embedding"] == [0.0] * 16
+    assert feats[3]["embedding"] == [0.0] * 16
+    assert feats[2]["embedding"] is None
 
 
 def test_multimodal_real_decoder_gates_other_formats():

@@ -505,3 +505,152 @@ def test_image_pixel_features_three_formats(spark):
         if r["format"] == "jpeg":
             i = r["doc_id"]
             assert (r["width"], r["height"]) == (8 * (2 + i % 5), 8 * (2 + (i * 3) % 4))
+
+
+# ---------------------------------------------------------------------------
+# round-4: quality-filter pipeline (Gopher-style repetition + rules)
+# ---------------------------------------------------------------------------
+
+def test_repetition_signals(spark):
+    from pprl_spark.spark.quality import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),                      # all distinct
+            (2, "x x x x"),                      # one word repeated
+            (3, "p q p q p q"),                  # dominant bigram pattern
+            (4, ""),                             # empty
+            (5, "solo"),                         # single word, no bigrams
+            (6, "l1\nl2\nl1\nl3"),               # duplicate line
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["dup_word_fraction"] == 0.0
+    assert rows[2]["dup_word_fraction"] == 0.75
+    assert rows[4]["dup_word_fraction"] == 0.0
+    assert rows[5]["top_bigram_fraction"] == 0.0
+    assert rows[4]["top_bigram_fraction"] == 0.0
+    # "p q p q p q": bigrams [pq, qp, pq, qp, pq] -> top 'p q' 3/5
+    assert abs(rows[3]["top_bigram_fraction"] - 0.6) < 1e-12
+    # lines: 4 lines, 3 distinct -> 1 - 3/4
+    assert abs(rows[6]["dup_line_fraction"] - 0.25) < 1e-12
+    assert rows[1]["dup_line_fraction"] == 0.0
+
+
+def test_filter_documents_reason_order(spark):
+    from pprl_spark.spark.quality import FilterRules, filter_documents
+
+    rules = FilterRules(
+        min_tokens=3, max_tokens=5, min_quality=0.0,
+        allowed_langs=("en",), max_dup_word_fraction=0.5,
+        max_top_bigram_fraction=0.5,
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb"),                        # too_short (2 tokens)
+            (2, "aa bb cc dd ee ff"),            # too_long (6)
+            (3, "der die und das ist"),          # 5 de-stopwords -> lang
+            (4, "zz zz zz zz zz"),               # dup 0.8 -> repetition_words
+            # 'the of' dominates AND dup words: too few distinct... craft:
+            (5, "the of and to in"),             # en stopwords, distinct, ok
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in filter_documents(df, rules).collect()}
+    assert rows[1]["reject_reason"] == "too_short" and not rows[1]["keep"]
+    assert rows[2]["reject_reason"] == "too_long"
+    assert rows[3]["reject_reason"] == "lang"
+    # doc 4 is en-undetectable too ('und') — lang fires BEFORE repetition
+    assert rows[4]["reject_reason"] == "lang"
+    assert rows[5]["reject_reason"] == "ok" and rows[5]["keep"]
+
+
+def test_quality_filter_query_classes(spark):
+    import __spark_entry__ as E
+
+    out = E.quality_filter(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 500
+    reasons = {r["reject_reason"] for r in out}
+    assert "ok" in reasons and len(reasons) >= 2
+    for r in out:
+        assert r["keep"] == (r["reject_reason"] == "ok")
+        assert r["reject_reason"] is not None
+
+
+# ---------------------------------------------------------------------------
+# round-4: cross-corpus (incremental) MinHash dedup
+# ---------------------------------------------------------------------------
+
+def test_minhash_cross_corpus_pairs(spark):
+    """Batch-vs-corpus mode: finds batch docs near-duplicating corpus
+    docs, never pairs the corpus with itself, and agrees with self-mode
+    on the same logical pairs."""
+    from pprl_spark.spark.dedup import jaccard_verify, minhash_lsh_pairs
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before noon today",
+        "sphinx of black quartz judge my vow said the old teacher",
+    ]
+    corpus_rows = [(i, t) for i, t in enumerate(base)]
+    # batch: one near-dup of corpus doc 0, one fresh doc
+    batch_rows = [
+        (100, base[0].replace("lazy", "sleepy")),
+        (101, "completely different content with no overlap whatsoever here"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    cands = minhash_lsh_pairs(
+        batch, "doc_id", "text", q=4, num_hashes=64, bands=16, df_other=corpus
+    )
+    rows = cands.collect()
+    # id_a always from the batch, id_b from the corpus
+    assert all(r["id_a"] >= 100 and r["id_b"] < 100 for r in rows)
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (100, 0) in got
+    assert not any(a == 101 for a, _ in got)
+
+    # verified pairs agree with running self-mode over the union
+    union = corpus.unionByName(batch)
+    self_cands = minhash_lsh_pairs(union, "doc_id", "text", q=4,
+                                   num_hashes=64, bands=16)
+    self_pairs = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+        for r in jaccard_verify(self_cands, union, "doc_id", "text",
+                                q=4, threshold=0.5).collect()
+    }
+    cross_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_verify(cands, union, "doc_id", "text",
+                                q=4, threshold=0.5).collect()
+    }
+    # every cross-mode verified pair appears in self-mode too
+    assert cross_pairs <= self_pairs
+    assert (100, 0) in cross_pairs
+
+
+def test_real_decode_embedding_for_decodable_rasters(spark):
+    """decoder='real' now carries a raster-derived embedding for
+    PNG/GIF/JPEG payloads with decodable scans; header-only or
+    undecodable payloads keep a null embedding."""
+    from pprl_spark.fixtures import (make_bmp_bytes, make_patterned_gif_bytes,
+                                     make_patterned_jpeg_bytes,
+                                     make_patterned_png_bytes)
+    from pprl_spark.spark.multimodal import decode_image_features
+
+    rows = [
+        (0, bytearray(make_patterned_png_bytes(16, 16, 0))),
+        (1, bytearray(make_patterned_gif_bytes(16, 16, 1))),
+        (2, bytearray(make_patterned_jpeg_bytes(16, 16, 2))),
+        (3, bytearray(make_bmp_bytes(16, 16))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in
+           decode_image_features(df, decoder="real").collect()}
+    for i in (0, 1, 2):
+        emb = out[i]["embedding"]
+        assert emb is not None and len(emb) == 16
+        assert all(0.0 <= v <= 1.0 for v in emb)
+    assert out[3]["embedding"] is None  # BMP: header-only, honest gap
