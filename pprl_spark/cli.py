@@ -213,6 +213,48 @@ def _cmd_dedup(args, spark) -> None:
     _write_single_csv(out, args.output)
 
 
+def _cmd_quality(args, spark) -> None:
+    """Beyond-reference: quality-filter a corpus (token band + heuristic
+    quality + language allowlist + Gopher-style repetition signals) →
+    per-document decision CSV (doc_id, n_tokens, lang_pred, quality,
+    dup_word_fraction, top_bigram_fraction, keep, reject_reason)."""
+    from pyspark.sql import functions as F
+
+    from .spark.quality import FilterRules, filter_documents
+
+    if args.input.endswith(".parquet") or os.path.isdir(args.input):
+        docs = spark.read.parquet(args.input)
+    else:
+        docs = spark.read.csv(args.input, header=True)
+    if args.id_column not in docs.columns or args.text_column not in docs.columns:
+        raise ValueError(
+            f"input needs `{args.id_column}` and `{args.text_column}` columns "
+            f"(found {docs.columns})"
+        )
+    docs = docs.select(
+        F.col(args.id_column).cast("long").alias("doc_id"),
+        F.col(args.text_column).alias("text"),
+    )
+    rules = FilterRules(
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        min_quality=args.min_quality,
+        allowed_langs=tuple(args.lang) if args.lang else (),
+        max_dup_word_fraction=args.max_dup_word_fraction,
+        max_top_bigram_fraction=args.max_top_bigram_fraction,
+    )
+    out = filter_documents(docs, rules).select(
+        "doc_id", "n_tokens", "lang_pred",
+        F.round("quality", 6).alias("quality"),
+        F.round("dup_word_fraction", 6).alias("dup_word_fraction"),
+        F.round("top_bigram_fraction", 6).alias("top_bigram_fraction"),
+        "keep", "reject_reason",
+    )
+    if args.keep_only:
+        out = out.filter(F.col("keep"))
+    _write_single_csv(out.orderBy("doc_id"), args.output)
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="pprl_spark", description="PySpark-native PPRL engine CLI"
@@ -273,6 +315,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-q", "--token-size", type=int, default=5)
     p.add_argument("-t", "--threshold", type=float, default=0.8)
     p.set_defaults(fn=_cmd_dedup)
+
+    p = sub.add_parser(
+        "quality",
+        help="quality-filter a corpus (length/quality/lang/repetition rules) "
+             "→ per-doc decision CSV; beyond the reference surface",
+    )
+    p.add_argument("input", help="documents parquet path/dir or CSV with header")
+    p.add_argument("output", help="output CSV path")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--max-tokens", type=int, default=1_000_000)
+    p.add_argument("--min-quality", type=float, default=0.0)
+    p.add_argument("--lang", action="append", default=None,
+                   help="allowed language (repeatable); omit to allow any")
+    p.add_argument("--max-dup-word-fraction", type=float, default=1.0)
+    p.add_argument("--max-top-bigram-fraction", type=float, default=1.0)
+    p.add_argument("--keep-only", action="store_true",
+                   help="write only kept documents")
+    p.set_defaults(fn=_cmd_quality)
     return ap
 
 

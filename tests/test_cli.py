@@ -139,3 +139,32 @@ def test_cli_estimate_writes_reference_shape(spark, workdir):
     payload = json.loads(out.read_text())
     assert payload[0]["attribute_name"] == "name"
     assert payload[0]["weight"] > 0 and payload[0]["average_token_count"] > 0
+
+
+def test_cli_quality_filter(spark, tmp_path):
+    docs = tmp_path / "docs.csv"
+    docs.write_text(
+        "doc_id,text\n"
+        "1,the of and to in that was for it is\n"          # 10 en stopwords
+        "2,zz zz zz zz zz zz zz zz zz zz\n"                # repetitive
+        "3,too short\n"
+    )
+    out = tmp_path / "quality.csv"
+    cli.main([
+        "quality", str(docs), str(out),
+        "--min-tokens", "5", "--lang", "en",
+        "--max-dup-word-fraction", "0.5",
+    ])
+    rows = {r["doc_id"]: r for r in _read_csv(str(out))}
+    assert rows["1"]["keep"] == "true" and rows["1"]["reject_reason"] == "ok"
+    assert rows["3"]["reject_reason"] == "too_short"
+    # doc 2: all-identical non-stopword tokens -> lang 'und' fires first
+    assert rows["2"]["keep"] == "false"
+    assert rows["2"]["reject_reason"] in ("lang", "repetition_words")
+
+    kept = tmp_path / "kept.csv"
+    cli.main([
+        "quality", str(docs), str(kept),
+        "--min-tokens", "5", "--keep-only",
+    ])
+    assert {r["doc_id"] for r in _read_csv(str(kept))} == {"1", "2"}
