@@ -275,7 +275,11 @@ def run_scaling(n_pages: int = 120_000, n_low: int = 8) -> dict:
     # each pass (so a steal window hits both or neither) and the CPU
     # controls run at the end of the pass, never between the two Spark
     # runs they normalize.
+    pass_walls: dict[str, list] = {low: [], high: []}
+    pass_controls: dict[int, list] = {n_low: [], n_low * 4: []}
+    pass_loadavg: list = []
     for _pass in range(3):
+        pass_loadavg.append([round(x, 2) for x in os.getloadavg()])
         for master in (low, high):
             proc = subprocess.run(
                 [sys.executable, __file__, "--scaling-worker", master, str(n_pages)],
@@ -284,11 +288,13 @@ def run_scaling(n_pages: int = 120_000, n_low: int = 8) -> dict:
                 check=True,
             )
             run = json.loads(proc.stdout.strip().splitlines()[-1])
+            pass_walls[master].append(run["wall_sec"])
             prev = results.get(master)
             if prev is None or run["wall_sec"] < prev["wall_sec"]:
                 results[master] = run
         for procs in (n_low, n_low * 4):
             thpt = _burn_throughput(procs)
+            pass_controls[procs].append(round(thpt / (procs * 1e6), 3))
             ceil_thpt[procs] = max(ceil_thpt.get(procs, 0.0), thpt)
     t_low = results[low]["wall_sec"]
     t_high = results[high]["wall_sec"]
@@ -312,6 +318,15 @@ def run_scaling(n_pages: int = 120_000, n_low: int = 8) -> dict:
         else None,
         "passes_north_rule_0_8": efficiency >= 0.8,
         "estimates_identical_across_parallelism": est_equal,
+        # full per-pass evidence so a reader can see run-to-run variance
+        # (steal windows) instead of only the best-of-3 (VERDICT r3 #4)
+        "noise": {
+            "pass_walls_sec": pass_walls,
+            "pass_control_mhash_per_core": {
+                str(k): v for k, v in pass_controls.items()
+            },
+            "loadavg_at_pass_start": pass_loadavg,
+        },
     }
 
 

@@ -25,8 +25,9 @@ Scale notes:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -37,8 +38,10 @@ __all__ = [
     "dup_word_fraction",
     "dup_line_fraction",
     "top_bigram_fraction",
+    "top_bigram_fraction_udf",
     "repetition_stats",
     "filter_documents",
+    "streaming_quality_filter",
 ]
 
 
@@ -143,6 +146,11 @@ def filter_documents(
             "lang_pred": lang_id_col(F.col(text_col)),
         }
     )
+    return _decide(sig, rules)
+
+
+def _reason_column(rules: FilterRules) -> Column:
+    """First-failing-rule CASE chain over the signal columns."""
     reason = F.when(F.col("n_tokens") < rules.min_tokens, F.lit("too_short"))
     reason = reason.when(F.col("n_tokens") > rules.max_tokens, F.lit("too_long"))
     reason = reason.when(F.col("quality") < rules.min_quality, F.lit("low_quality"))
@@ -158,7 +166,64 @@ def filter_documents(
         F.col("top_bigram_fraction") > rules.max_top_bigram_fraction,
         F.lit("repetition_bigram"),
     )
-    reason = reason.otherwise(F.lit("ok"))
-    return sig.withColumn("reject_reason", reason).withColumn(
+    return reason.otherwise(F.lit("ok"))
+
+
+def _decide(sig: DataFrame, rules: FilterRules) -> DataFrame:
+    return sig.withColumn("reject_reason", _reason_column(rules)).withColumn(
         "keep", F.col("reject_reason") == "ok"
     )
+
+
+def top_bigram_fraction_udf(col: Column | str) -> Column:
+    """Per-row top-bigram fraction as an Arrow-vectorized scalar UDF —
+    the STATELESS-PROJECTION form of :func:`top_bigram_fraction` for
+    streaming plans, where the batch explode + re-join shape would be a
+    stream-stream self-join.  Linear per document (collections.Counter),
+    identical values to the batch aggregate."""
+    col = F.col(col) if isinstance(col, str) else col
+
+    @F.pandas_udf("double")
+    def _tbf(texts: pd.Series) -> pd.Series:
+        from collections import Counter
+
+        out = []
+        for t in texts:
+            words = [w for w in (t or "").split() if w]
+            if len(words) < 2:
+                out.append(0.0)
+                continue
+            counts = Counter(zip(words, words[1:]))
+            out.append(max(counts.values()) / (len(words) - 1))
+        return pd.Series(out, dtype="float64")
+
+    return _tbf(col)
+
+
+def streaming_quality_filter(
+    stream_df: DataFrame,
+    rules: FilterRules = FilterRules(),
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality filter over a STREAMING DataFrame — the ingest-time stage
+    of a continuously-crawled corpus pipeline (filter → dedup → encode).
+
+    Every signal here is a stateless projection, so the plan composes
+    with watermarks/sinks unchanged and needs no state store: the
+    Catalyst expressions are shared with batch; ``top_bigram_fraction``
+    switches to its vectorized-UDF form (the batch aggregate shape would
+    be a stream-stream self-join).  Decisions are row-identical to
+    :func:`filter_documents` on the same rows."""
+    if not stream_df.isStreaming:
+        raise ValueError("streaming_quality_filter expects a streaming DataFrame")
+    sig = stream_df.withColumns(
+        {
+            "dup_word_fraction": dup_word_fraction(F.col(text_col)),
+            "dup_line_fraction": dup_line_fraction(F.col(text_col)),
+            "top_bigram_fraction": top_bigram_fraction_udf(F.col(text_col)),
+            "n_tokens": whitespace_token_count(F.col(text_col)),
+            "quality": quality_score(F.col(text_col)),
+            "lang_pred": lang_id_col(F.col(text_col)),
+        }
+    )
+    return _decide(sig, rules)

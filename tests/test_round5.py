@@ -654,3 +654,56 @@ def test_real_decode_embedding_for_decodable_rasters(spark):
         assert emb is not None and len(emb) == 16
         assert all(0.0 <= v <= 1.0 for v in emb)
     assert out[3]["embedding"] is None  # BMP: header-only, honest gap
+
+
+def test_streaming_quality_filter_matches_batch(spark, tmp_path):
+    """streaming_quality_filter decisions are row-identical to the batch
+    filter_documents on the same rows (the UDF top-bigram path must agree
+    with the batch aggregate path)."""
+    from pprl_spark.spark.quality import (FilterRules, filter_documents,
+                                          streaming_quality_filter)
+
+    rules = FilterRules(
+        min_tokens=3, max_tokens=8, min_quality=0.0,
+        allowed_langs=("en", "de"),
+        max_dup_word_fraction=0.4, max_top_bigram_fraction=0.6,
+    )
+    rows = [
+        (1, "the of and to in"),
+        (2, "aa bb"),
+        (3, "der die und das ist von den mit auf"),
+        (4, "the the the the of"),
+        (5, "the of the of the of"),
+        (6, "el la los de que y en"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = {
+        r["doc_id"]: (r["keep"], r["reject_reason"],
+                      round(r["top_bigram_fraction"], 12))
+        for r in filter_documents(batch, rules).collect()
+    }
+
+    src = tmp_path / "src"
+    batch.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (streaming_quality_filter(stream, rules)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (r["keep"], r["reject_reason"],
+                      round(r["top_bigram_fraction"], 12))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == expect
+    assert {v[1] for v in got.values()} >= {"ok", "too_short", "too_long"}
+
+
+def test_streaming_quality_filter_rejects_batch_frame(spark):
+    from pprl_spark.spark.quality import streaming_quality_filter
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="streaming"):
+        streaming_quality_filter(df)
