@@ -59,8 +59,11 @@ def _flagship_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pprl_spark.spark.mask import mask
     from pprl_spark.spark.match import match_lsh
 
-    docs = _load(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("id"), F.col("text")
+    docs = _resplit(
+        _load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("id"), F.col("text")
+        ),
+        spark,
     )
     # Config notes, tuned on the testdata similarity distribution:
     # * q=4 grams — the synthetic word-salad corpus has ~146 distinct
@@ -508,8 +511,11 @@ def pprl_mask_documents(spark, sf_dir):
     from pprl_spark.config import CLKFilter, HashConfig, HashFunctionConfig, MaskConfig
     from pprl_spark.spark.mask import mask_b64
 
-    docs = _load(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("id"), "text"
+    docs = _resplit(
+        _load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("id"), "text"
+        ),
+        spark,
     )
     cfg = MaskConfig(
         filter=CLKFilter(1024, 5),
@@ -1007,8 +1013,11 @@ def _hardened_mask_query(spark, sf_dir, chain):
                                    MaskConfig)
     from pprl_spark.spark.mask import mask_b64
 
-    docs = _load(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("id"), "text"
+    docs = _resplit(
+        _load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("id"), "text"
+        ),
+        spark,
     )
     cfg = MaskConfig(
         filter=CLKFilter(512, 5),
@@ -1068,8 +1077,11 @@ def pprl_mask_rbf(spark, sf_dir):
                                    RBFFilter, WeightedAttributeConfig)
     from pprl_spark.spark.mask import mask_b64
 
-    docs = _load(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("id"), "text", "lang"
+    docs = _resplit(
+        _load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("id"), "text", "lang"
+        ),
+        spark,
     )
     cfg = MaskConfig(
         filter=RBFFilter(hash_values=4, seed=727),
@@ -1090,8 +1102,11 @@ def pprl_mask_clkrbf(spark, sf_dir):
                                    MaskConfig, WeightedAttributeConfig)
     from pprl_spark.spark.mask import mask_b64
 
-    docs = _load(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("id"), "text", "lang"
+    docs = _resplit(
+        _load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("id"), "text", "lang"
+        ),
+        spark,
     )
     cfg = MaskConfig(
         filter=CLKRBFFilter(hash_values=3),

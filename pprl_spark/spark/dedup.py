@@ -180,6 +180,15 @@ def minhash_lsh_pairs(
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
 
     def _banded(frame: DataFrame) -> DataFrame:
+        # Re-split ONLY when the scan has fewer splits than the cluster
+        # has slots: a small parquet table lands in 1-4 splits, and the
+        # EXPENSIVE map side (explode + md5 per gram + 128 partial-min
+        # updates per lane row) would run serialized on those few cores —
+        # measured 12.6 s → ~1 s at sf0.1/local[32].  At production split
+        # counts this is a no-op; an unconditional repartition would add
+        # a full-corpus shuffle and coalesce DOWN.
+        if frame.rdd.getNumPartitions() < n_parts:
+            frame = frame.repartition(n_parts)
         # raw windows, duplicates kept: a duplicate gram cannot change any
         # min_j, and exploding the distinct array would re-evaluate the
         # dedup per output row (see qgram_raw_windows)
@@ -261,6 +270,12 @@ def jaccard_verify(
 ) -> DataFrame:
     """Join candidate (id_a, id_b) pairs back to their token sets and keep
     those with exact q-gram Jaccard ≥ threshold."""
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    if df.rdd.getNumPartitions() < n_parts:
+        # same small-scan guard as the banding path: both join sides
+        # evaluate the per-doc distinct-gram arrays over the scan's
+        # splits — 1-4 splits at test scale would serialize that work
+        df = df.repartition(n_parts)
     toks = df.select(
         F.col(id_col).alias("__jid"), qgram_tokens(F.col(text_col), q).alias("__jtok")
     )
@@ -292,6 +307,8 @@ def simhash_fingerprints(
     aggregations keyed on the id — one shuffle of (id, 64 small ints),
     independent of document length.  md5-derived bits keep the operator
     DuckDB-expressible (the driver oracle mirrors this arithmetic).
+    Small scans are re-split first (see ``_banded``'s guard) so the
+    map-side vote sums never serialize on 1-4 parquet splits.
 
     Output: ``(__id, hi, lo, keys array<long>)`` — hi/lo are the two
     32-bit halves (Hamming distance = bit_count(hi⊕hi')+bit_count(lo⊕lo'))
@@ -300,6 +317,9 @@ def simhash_fingerprints(
     if 64 % chunks:
         raise ValueError("chunks must divide 64")
     width = 64 // chunks
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     # explode RAW windows then dedup (id, gram) — the dedup happens in the
     # aggregation's map-side partial; exploding the distinct array instead
     # re-evaluates the dedup per output row (see qgram_raw_windows)

@@ -132,6 +132,11 @@ def lang_id_col(col: Column | str) -> Column:
 def _word_explode(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, term) rows — whitespace words, empties dropped, duplicates
     kept (term frequency is the point)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        # small-scan guard (see dedup._banded): the explode + downstream
+        # tf aggregation otherwise run on the scan's 1-4 splits
+        df = df.repartition(parallelism)
     return df.select(
         F.col(id_col),
         F.explode(

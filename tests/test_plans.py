@@ -41,9 +41,18 @@ def test_q5_broadcasts_nation_and_region(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
-def test_mask_stage_is_shuffle_free(spark):
+def test_mask_stage_shuffles_only_the_slim_projection(spark):
+    """The encode itself is a pure projection (no shuffle of encoded
+    output); the ONLY allowed exchange is the small-scan resplit of the
+    projected (id, text) BELOW the UDF (r4 — without it the encode UDF
+    serializes on the scan's 1-4 splits at test scale)."""
     plan = _executed_plan(E.pprl_mask_documents(spark, SF))
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan
+        # the exchange must sit below the Python encode stage: nothing
+        # after ArrowEvalPython may shuffle
+        assert "Exchange" not in plan[: plan.index("ArrowEvalPython")]
     assert "ArrowEvalPython" in plan
 
 
