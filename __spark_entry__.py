@@ -547,12 +547,24 @@ def minhash_dedup_pairs(spark, sf_dir):
 def documents_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split by doc_id hash
     (spark/sampling.hash_split) — partition/retry/append-stable, the
-    reproducible alternative to df.randomSplit.  Every assignment is
-    hash-verified (the oracle replays the md5-lane arithmetic)."""
+    reproducible alternative to df.randomSplit — PLUS token-budget shard
+    packing (spark/packing.assign_shards, new r4): shard = exclusive
+    cumulative tokens ÷ 2000 in doc_id order, computed as a distributed
+    prefix sum (range partition → per-partition totals → driver offset
+    prefix → per-partition cumsum), never a single-partition global
+    window.  The oracle replays the md5-lane split arithmetic and the
+    cumulative window in SQL."""
+    from pprl_spark.spark.packing import assign_shards
     from pprl_spark.spark.sampling import hash_split
+    from pprl_spark.spark.textstats import whitespace_token_count
 
-    docs = _load(spark, sf_dir, "documents").select("doc_id")
-    return hash_split(docs, "doc_id", [0.8, 0.1, 0.1])
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", whitespace_token_count(F.col("text")).alias("n_tokens")
+    )
+    sharded = assign_shards(docs, "doc_id", "n_tokens", budget=2000)
+    return hash_split(sharded, "doc_id", [0.8, 0.1, 0.1]).select(
+        "doc_id", "split", "n_tokens", "shard"
+    )
 
 
 def dedup_components(spark, sf_dir):
@@ -2027,11 +2039,21 @@ WITH b AS (
   SELECT doc_id, ({lane}) % 1000000 AS bucket
   FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents)
 )
-SELECT doc_id,
+, toks AS (
+  SELECT doc_id,
+         CAST(length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT b.doc_id,
        CAST(CASE WHEN bucket < 800000 THEN 0
                  WHEN bucket < 900000 THEN 1
-                 ELSE 2 END AS INT) AS split
-FROM b
+                 ELSE 2 END AS INT) AS split,
+       t.n_tokens,
+       CAST(coalesce(sum(t.n_tokens) OVER (ORDER BY b.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 2000 AS BIGINT) AS shard
+FROM b JOIN toks t ON t.doc_id = b.doc_id
 """
 
 

@@ -707,3 +707,61 @@ def test_streaming_quality_filter_rejects_batch_frame(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="streaming"):
         streaming_quality_filter(df)
+
+
+# ---------------------------------------------------------------------------
+# round-4: token-budget shard packing (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+def test_assign_shards_matches_sequential_reference(spark):
+    import random
+
+    from pprl_spark.spark.packing import assign_shards
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 500)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = assign_shards(df, "doc_id", "n_tokens", budget=3000).collect()
+    got = {r["doc_id"]: r["shard"] for r in out}
+
+    cum = 0
+    for i, tok in rows:  # sequential single-threaded reference
+        assert got[i] == cum // 3000, (i, got[i], cum)
+        cum += tok
+    # shards are contiguous in id order and ~budget-sized
+    by_shard = {}
+    for i, tok in rows:
+        by_shard.setdefault(got[i], []).append((i, tok))
+    for s, members in by_shard.items():
+        ids = [i for i, _ in members]
+        assert ids == sorted(ids)
+        total = sum(t for _, t in members)
+        # a shard overflows by at most one document (500 max tokens)
+        if s != max(by_shard):
+            assert total >= 3000 - 500
+
+
+def test_assign_shards_partition_invariant(spark):
+    from pprl_spark.spark.packing import assign_shards
+
+    rows = [(i, 7 + i % 13) for i in range(500)]
+    base = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    expect = None
+    for p in (1, 3, 32):
+        got = sorted(
+            (r["doc_id"], r["shard"])
+            for r in assign_shards(
+                base.repartition(p), "doc_id", "n_tokens", budget=100
+            ).collect()
+        )
+        if expect is None:
+            expect = got
+        assert got == expect
+
+
+def test_assign_shards_validates_budget(spark):
+    from pprl_spark.spark.packing import assign_shards
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="budget"):
+        assign_shards(df, "doc_id", "n_tokens", budget=0)
