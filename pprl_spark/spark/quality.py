@@ -70,12 +70,12 @@ def dup_line_fraction(col: Column | str) -> Column:
     )
 
 
-def top_bigram_fraction(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def _top_bigram_per_doc(
+    df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """(id, top_bigram_fraction): the most frequent word-bigram's share of
-    all bigrams, 0.0 for documents with fewer than two words.  Linear
-    explode + hash aggregate, never a per-document quadratic scan."""
+    """Sparse (id, top_bigram_fraction) — only documents with ≥1 bigram
+    appear; callers left-join and coalesce to 0.0.  Linear explode + hash
+    aggregate, never a per-document quadratic scan."""
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     n = F.size(words)
     # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) and element_at(_, 0)
@@ -93,9 +93,18 @@ def top_bigram_fraction(
     per_bigram = exploded.groupBy(id_col, "__bg").agg(
         F.count(F.lit(1)).alias("__n")
     )
-    per_doc = per_bigram.groupBy(id_col).agg(
+    return per_bigram.groupBy(id_col).agg(
         (F.max("__n") / F.sum("__n")).cast("double").alias("top_bigram_fraction")
     )
+
+
+def top_bigram_fraction(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, top_bigram_fraction) for EVERY input id: the most frequent
+    word-bigram's share of all bigrams, 0.0 for documents with fewer than
+    two words."""
+    per_doc = _top_bigram_per_doc(df, id_col, text_col)
     ids = df.select(id_col).distinct()
     return ids.join(per_doc, id_col, "left").select(
         id_col,
@@ -106,15 +115,22 @@ def top_bigram_fraction(
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Attach the three Gopher-style repetition signals."""
+    """Attach the three Gopher-style repetition signals.  The bigram
+    aggregate joins back LEFT against the full rows directly (sparse side
+    broadcastable), so the corpus is scanned twice total — once for the
+    narrow signals, once for the bigram explode — with no third
+    ids-distinct pass."""
     narrow = df.withColumns(
         {
             "dup_word_fraction": dup_word_fraction(F.col(text_col)),
             "dup_line_fraction": dup_line_fraction(F.col(text_col)),
         }
     )
-    tops = top_bigram_fraction(df, id_col, text_col)
-    return narrow.join(tops, id_col)
+    tops = _top_bigram_per_doc(df, id_col, text_col)
+    return narrow.join(tops, id_col, "left").withColumn(
+        "top_bigram_fraction",
+        F.coalesce("top_bigram_fraction", F.lit(0.0)),
+    )
 
 
 @dataclass(frozen=True)
