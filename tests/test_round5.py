@@ -765,3 +765,41 @@ def test_assign_shards_validates_budget(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError, match="budget"):
         assign_shards(df, "doc_id", "n_tokens", budget=0)
+
+
+def test_dedup_job_shards_stage(spark, tmp_path):
+    """The staged curation job's final shards stage: canonical docs get
+    contiguous token-budget shard indexes; non-canonical docs are
+    excluded (they were deduplicated away)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "dedup_job",
+        pathlib.Path(__file__).resolve().parent.parent / "jobs" / "dedup_job.py",
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+    from pprl_spark.spark.pipeline import Pipeline
+
+    stages = job.build_stages("/root/testdata/sf0.001/documents.parquet",
+                              q=5, threshold=0.8, min_quality=0.0,
+                              shard_budget=1500)
+    results = Pipeline(spark, tmp_path, stages).run()
+    canon = results["canonical"].collect()
+    canonical_ids = {r["doc_id"] for r in canon if r["is_canonical"]}
+    sh = results["shards"].collect()
+    assert {r["doc_id"] for r in sh} == canonical_ids
+    # shard indexes replay id order: sort by id -> shard is non-decreasing
+    ordered = sorted(sh, key=lambda r: r["doc_id"])
+    shards_seq = [r["shard"] for r in ordered]
+    assert shards_seq == sorted(shards_seq)
+    # every full shard is within one doc of the budget
+    from collections import defaultdict
+    totals = defaultdict(int)
+    for r in ordered:
+        totals[r["shard"]] += r["n_tokens"]
+    max_doc = max(r["n_tokens"] for r in ordered)
+    for s, tot in totals.items():
+        if s != max(totals):
+            assert tot >= 1500 - max_doc
