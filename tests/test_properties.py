@@ -177,3 +177,77 @@ def test_pack_unpack_roundtrip(bits):
     b64 = to_base64(bits)
     back = from_base64(b64, bits.shape[0])
     assert np.array_equal(back, bits)
+
+
+# ------------------------------------------------------ raster codecs (r4)
+
+@FAST
+@given(st.binary(min_size=0, max_size=4000))
+def test_gif_lzw_roundtrip_property(data):
+    from pprl_spark.fixtures import _gif_lzw_encode
+    from pprl_spark.spark.multimodal import _gif_lzw_decode
+
+    blocks = _gif_lzw_encode(data, 8)
+    sub = bytearray()
+    i = 0
+    while blocks[i] != 0:
+        ln = blocks[i]
+        sub += blocks[i + 1 : i + 1 + ln]
+        i += 1 + ln
+    assert _gif_lzw_decode(bytes(sub), 8) == data
+
+
+@FAST
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_quantized_roundtrip_property(bw, bh, seed):
+    """Arbitrary sparse quantized blocks survive Huffman encode →
+    decode → IDCT identically to the reference IDCT of the same
+    coefficients (pins bitstream, categories, DC prediction, zigzag)."""
+    import numpy as np
+
+    from pprl_spark.fixtures import make_jpeg_from_quantized
+    from pprl_spark.spark.multimodal import _idct_matrix, decode_jpeg_pixels
+
+    rng = np.random.RandomState(seed % 2**32)
+    w, h = bw * 8, bh * 8
+    blocks = []
+    for _ in range(bw * bh):
+        blk = np.zeros(64, dtype=int)
+        blk[0] = int(rng.randint(-1000, 1000))
+        for _ in range(int(rng.randint(0, 8))):
+            blk[rng.randint(1, 64)] = int(rng.randint(-1023, 1023))
+        blocks.append(blk.tolist())
+    px = decode_jpeg_pixels(make_jpeg_from_quantized(w, h, blocks))
+    a = _idct_matrix()
+    expect = np.zeros((h, w))
+    for i, blk in enumerate(blocks):
+        bR, bC = divmod(i, bw)
+        S = np.array(blk, dtype=float).reshape(8, 8)
+        expect[bR * 8 : bR * 8 + 8, bC * 8 : bC * 8 + 8] = a.T @ S @ a
+    expect = np.clip(np.round(expect + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(px[:, :, 0], expect)
+
+
+@FAST
+@given(st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=200),
+       st.integers(min_value=1, max_value=500))
+def test_shard_packing_reference_property(tokens, budget):
+    """Pure-python check of the packing rule used by assign_shards:
+    exclusive cumsum // budget is non-decreasing and respects the
+    budget up to one-document overflow."""
+    cum = 0
+    prev = 0
+    totals = {}
+    for t in tokens:
+        s = cum // budget
+        assert s >= prev
+        prev = s
+        totals[s] = totals.get(s, 0) + t
+        cum += t
+    for s, tot in totals.items():
+        if s != max(totals):
+            assert tot + max(tokens) >= budget
