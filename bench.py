@@ -61,7 +61,7 @@ def run_headline() -> dict:
         "events_hourly",
         "events_top_type_per_user",
         "token_frequencies",
-        "ngram_entropy",
+        "corpus_token_stats",
         "dedup_exact",
         "text_quality",
         "fingerprint_md5",

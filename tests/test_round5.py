@@ -803,3 +803,64 @@ def test_dedup_job_shards_stage(spark, tmp_path):
     for s, tot in totals.items():
         if s != max(totals):
             assert tot >= 1500 - max_doc
+
+
+# ---------------------------------------------------------------------------
+# round-4: benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+def test_contamination_report_flags_overlap(spark):
+    from pprl_spark.spark.decontaminate import (contamination_report,
+                                                decontaminate)
+
+    bench_sentence = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [
+            (1, "intro text then " + bench_sentence + " and more prose after"),
+            (2, "totally unrelated content about distributed join strategies"
+                " and shuffle partitioning in modern analytical engines ok"),
+            (3, "short doc"),
+            (4, "The QUICK brown fox JUMPS over the lazy dog tonight"),  # case
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [("eval: " + bench_sentence + " extra",)], "text string"
+    )
+    rep = {r["doc_id"]: r for r in
+           contamination_report(train, evalset, n=10).collect()}
+    assert len(rep) == 4
+    assert rep[1]["contaminated"] and rep[1]["n_gram_hits"] >= 1
+    assert rep[4]["contaminated"]  # lowercased comparison
+    assert not rep[2]["contaminated"] and rep[2]["n_gram_hits"] == 0
+    assert not rep[3]["contaminated"]  # < n words -> clean by definition
+
+    kept = decontaminate(train, evalset, n=10)
+    assert {r["doc_id"] for r in kept.collect()} == {2, 3}
+
+
+def test_contamination_min_hits_threshold(spark):
+    from pprl_spark.spark.decontaminate import contamination_report
+
+    s = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    train = spark.createDataFrame([(1, s)], "doc_id long, text string")
+    evalset = spark.createDataFrame([(s,)], "text string")
+    # n=4 over an identical 8-word doc -> 5 shared 4-grams
+    rep = contamination_report(train, evalset, n=4, min_hits=6).first()
+    assert rep["n_gram_hits"] == 5 and not rep["contaminated"]
+    rep2 = contamination_report(train, evalset, n=4, min_hits=5).first()
+    assert rep2["contaminated"]
+
+
+def test_contamination_plan_broadcasts_eval(spark):
+    from pprl_spark.spark.decontaminate import contamination_report
+
+    train = spark.createDataFrame(
+        [(i, f"word{i} " * 20) for i in range(50)], "doc_id long, text string"
+    )
+    evalset = spark.createDataFrame([("a b c d e f g h i j k l m n",)],
+                                    "text string")
+    rep = contamination_report(train, evalset, n=13)
+    rep.collect()
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles for the semi-join

@@ -8,7 +8,7 @@ spark.range(1000).selectExpr("sum(id)").collect()
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 names = sys.argv[2:] or [
     "q1_pricing_summary","q3_top_orders","q5_region_revenue","events_hourly",
-    "events_top_type_per_user","token_frequencies","ngram_entropy","dedup_exact",
+    "events_top_type_per_user","token_frequencies","corpus_token_stats","dedup_exact",
     "text_quality","fingerprint_md5","embedding_topk","minhash_dedup_pairs",
     "simhash_dup_pairs","pprl_mask_documents","pprl_match_lsh","hll_distinct_users",
     "cms_event_type_counts","quantile_sketches"]
