@@ -386,16 +386,18 @@ def _jpeg_category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
-def _jpeg_encode_blocks(blocks, writer: _JpegBitWriter, n_components: int = 1):
+def _jpeg_encode_blocks(blocks, writer: _JpegBitWriter, counts: tuple = (1,)):
     """Entropy-code a sequence of 64-int quantized-coefficient blocks
-    (natural order) with the fixture's canonical tables.  For
-    ``n_components`` > 1 the blocks are MCU-interleaved (c0, c1, …, c0,
-    c1, …) and DC prediction runs per component."""
+    (natural order) with the fixture's canonical tables.  ``counts``
+    gives each component's blocks-per-MCU (h_i·v_i); the block stream is
+    MCU-interleaved in that layout (e.g. 4:2:0 = (4, 1, 1): Y Y Y Y Cb
+    Cr per MCU) and DC prediction runs per component."""
     dc_tbl = _jpeg_canonical(_JPEG_DC_SYMBOLS, 4)
     ac_tbl = _jpeg_canonical(_JPEG_AC_SYMBOLS, 8)
-    preds = [0] * n_components
+    preds = [0] * len(counts)
+    cycle = [ci for ci, n in enumerate(counts) for _ in range(n)]
     for bi, blk in enumerate(blocks):
-        ci = bi % n_components
+        ci = cycle[bi % len(cycle)]
         diff = blk[0] - preds[ci]
         preds[ci] = blk[0]
         t = _jpeg_category(diff)
@@ -425,19 +427,28 @@ def _jpeg_encode_blocks(blocks, writer: _JpegBitWriter, n_components: int = 1):
 
 
 def make_jpeg_from_quantized(
-    width: int, height: int, blocks, n_components: int = 1
+    width: int, height: int, blocks, n_components: int = 1,
+    sampling: "tuple | None" = None,
 ) -> bytes:
     """Assemble a complete baseline JPEG from quantized DCT coefficient
-    blocks (row-major over ceil dims, MCU-interleaved when
-    ``n_components`` > 1, 64 ints each, natural order), quant table
-    all-ones, 4:4:4 sampling."""
+    blocks (MCU-interleaved, 64 ints each, natural order), quant table
+    all-ones.  ``sampling`` is a per-component (h_i, v_i) tuple —
+    ``((2, 2), (1, 1), (1, 1))`` is 4:2:0 (blocks per MCU: 4 Y, 1 Cb,
+    1 Cr); default all-(1, 1) = 4:4:4."""
     import struct
+
+    if sampling is None:
+        sampling = tuple((1, 1) for _ in range(n_components))
+    n_components = len(sampling)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     dqt = seg(0xFFDB, bytes([0]) + bytes([1] * 64))
-    comp_spec = b"".join(bytes([c + 1, 0x11, 0]) for c in range(n_components))
+    comp_spec = b"".join(
+        bytes([c + 1, (hi << 4) | vi, 0])
+        for c, (hi, vi) in enumerate(sampling)
+    )
     sof = seg(
         0xFFC0,
         struct.pack(">BHHB", 8, height, width, n_components) + comp_spec,
@@ -454,7 +465,7 @@ def make_jpeg_from_quantized(
     scan_spec = b"".join(bytes([c + 1, 0x00]) for c in range(n_components))
     sos = seg(0xFFDA, bytes([n_components]) + scan_spec + bytes([0, 63, 0]))
     w = _JpegBitWriter()
-    _jpeg_encode_blocks(blocks, w, n_components)
+    _jpeg_encode_blocks(blocks, w, tuple(hi * vi for hi, vi in sampling))
     return b"\xff\xd8" + dqt + sof + dht + sos + w.flush() + b"\xff\xd9"
 
 

@@ -12,8 +12,8 @@ stdlib+numpy, no PIL/libvips) exists for three formats via
 ``decode_raster_pixels``: PNG (zlib + all-5-filters undo), GIF
 (string-table LZW), and baseline JPEG (DHT Huffman + dequantize + IDCT,
 new r4); ``image_pixel_features`` builds pixel-level features on top.
-``NotImplementedError`` remains for progressive JPEG, subsampled chroma,
-and compressed audio/video codecs.  ``decoder="stub"`` derives
+``NotImplementedError`` remains for progressive JPEG and compressed
+audio/video codecs (4:2:0/4:2:2 chroma subsampling IS decoded — r4).  ``decoder="stub"`` derives
 deterministic fake features from the payload digest (full plumbing —
 schema, batching, partitioning — without any format assumption).
 
@@ -672,9 +672,13 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(nf):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("chroma-subsampled JPEG not supported (4:4:4 only)")
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(
+                        f"unsupported JPEG sampling factors {hi}x{vi} "
+                        "(1 and 2 supported: 4:4:4 / 4:2:2 / 4:2:0)"
+                    )
+                comps.append((cid, tq, hi, vi))
             frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -692,14 +696,49 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0x0F))
             reader = _JpegBitReader(payload, i + 2 + ln)
-            bw, bh = (w + 7) // 8, (h + 7) // 8
             a = _idct_matrix()
-            planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps]
+            # interleaved MCU geometry: an MCU covers 8·h_max × 8·v_max
+            # pixels; component ci contributes v_i×h_i blocks per MCU and
+            # its plane is subsampled by (v_max/v_i, h_max/h_i)
+            h_max = max(c[2] for c in comps)
+            v_max = max(c[3] for c in comps)
+            mcus_x = (w + 8 * h_max - 1) // (8 * h_max)
+            mcus_y = (h + 8 * v_max - 1) // (8 * v_max)
+            planes = [
+                np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.float64)
+                for (_, _, hi, vi) in comps
+            ]
             pred = [0] * len(comps)
-            comp_q = {cid: qtables[tq] for cid, tq in comps}
+            comp_q = {cid: qtables[tq] for cid, tq, _, _ in comps}
+
+            def _decode_block(dc_tbl, ac_tbl, ci):
+                coef = np.zeros(64, dtype=np.int32)
+                t = _jpeg_decode_symbol(reader, dc_tbl)
+                diff = _jpeg_extend(reader.bits(t), t) if t else 0
+                pred[ci] += diff
+                coef[0] = pred[ci]
+                k = 1
+                while k <= 63:
+                    sym = _jpeg_decode_symbol(reader, ac_tbl)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    size = sym & 0x0F
+                    if k > 63:
+                        raise ValueError("corrupt JPEG: AC index overflow")
+                    coef[k] = _jpeg_extend(reader.bits(size), size)
+                    k += 1
+                # coef is in scan (zigzag) order; scatter to natural
+                block = np.zeros(64, dtype=np.int32)
+                block[_JPEG_ZIGZAG] = coef
+                return block.reshape(8, 8)
+
             mcu = 0
-            for by in range(bh):
-                for bx in range(bw):
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
                     if restart_interval and mcu and mcu % restart_interval == 0:
                         # RSTn resets the DC predictors; drop the pad bits
                         # of the byte-aligned boundary (the reader then
@@ -709,38 +748,28 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                         reader.restart_hit = False
                     mcu += 1
                     for ci, (cs, dc_id, ac_id) in enumerate(scan):
+                        _, _, hi, vi = comps[ci]
                         dc_tbl = htables[(0, dc_id)]
                         ac_tbl = htables[(1, ac_id)]
-                        coef = np.zeros(64, dtype=np.int32)
-                        t = _jpeg_decode_symbol(reader, dc_tbl)
-                        diff = _jpeg_extend(reader.bits(t), t) if t else 0
-                        pred[ci] += diff
-                        coef[0] = pred[ci]
-                        k = 1
-                        while k <= 63:
-                            sym = _jpeg_decode_symbol(reader, ac_tbl)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            size = sym & 0x0F
-                            if k > 63:
-                                raise ValueError("corrupt JPEG: AC index overflow")
-                            coef[k] = _jpeg_extend(reader.bits(size), size)
-                            k += 1
-                        # coef is in scan (zigzag) order; scatter to natural
-                        block = np.zeros(64, dtype=np.int32)
-                        block[_JPEG_ZIGZAG] = coef
-                        block = block.reshape(8, 8)
-                        deq = block * comp_q[comps[ci][0]]
-                        px = a.T @ deq.astype(np.float64) @ a
-                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-            out = [
-                np.clip(np.round(p[:h, :w] + 128.0), 0, 255).astype(np.uint8)
-                for p in planes
-            ]
+                        for byi in range(vi):
+                            for bxi in range(hi):
+                                block = _decode_block(dc_tbl, ac_tbl, ci)
+                                deq = block * comp_q[comps[ci][0]]
+                                px = a.T @ deq.astype(np.float64) @ a
+                                r0 = (my * vi + byi) * 8
+                                c0 = (mx * hi + bxi) * 8
+                                planes[ci][r0 : r0 + 8, c0 : c0 + 8] = px
+            out = []
+            for ci, (_, _, hi, vi) in enumerate(comps):
+                p = planes[ci]
+                # nearest-neighbor chroma upsample to full resolution
+                if vi < v_max:
+                    p = np.repeat(p, v_max // vi, axis=0)
+                if hi < h_max:
+                    p = np.repeat(p, h_max // hi, axis=1)
+                out.append(
+                    np.clip(np.round(p[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+                )
             if len(out) == 1:
                 return out[0][:, :, None]
             y, cb, cr = (o.astype(np.float64) for o in out)

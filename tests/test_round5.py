@@ -480,8 +480,17 @@ def test_jpeg_rejects_unsupported():
 
     with _pytest.raises(ValueError, match="SOF2"):
         decode_jpeg_pixels(make_jpeg_bytes(16, 16, progressive=True))
-    with _pytest.raises(ValueError, match="subsampled"):
-        decode_jpeg_pixels(make_jpeg_bytes(16, 16, n_components=3))
+    # sampling factors beyond 2 are genuinely unsupported
+    import struct
+
+    bad_sof = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 16, 16, 1)
+        + bytes([1, 0x31, 0])  # h=3, v=1
+        + b"\xff\xd9"
+    )
+    with _pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg_pixels(bad_sof)
     # headers-only stream (everything before SOS, then EOI): no scan
     from pprl_spark.fixtures import make_patterned_jpeg_bytes
 
@@ -864,3 +873,78 @@ def test_contamination_plan_broadcasts_eval(spark):
     rep.collect()
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # corpus side never shuffles for the semi-join
+
+
+def test_jpeg_420_chroma_subsampling():
+    """4:2:0 (the dominant real-world JPEG layout): 16x16 MCU with four Y
+    blocks + one Cb + one Cr, chroma upsampled 2x2; plus 4:2:2 and crop
+    of a partial MCU."""
+    import numpy as np
+
+    from pprl_spark.fixtures import make_jpeg_from_quantized
+    from pprl_spark.spark.multimodal import decode_jpeg_pixels
+
+    def dc(v):
+        blk = [0] * 64
+        blk[0] = 8 * (v - 128)
+        return blk
+
+    # quadrant Y values, neutral chroma -> grayscale quadrants
+    blocks = [dc(100), dc(140), dc(180), dc(220), dc(128), dc(128)]
+    px = decode_jpeg_pixels(
+        make_jpeg_from_quantized(16, 16, blocks, sampling=((2, 2), (1, 1), (1, 1)))
+    )
+    assert px.shape == (16, 16, 3)
+    assert tuple(px[0, 0]) == (100, 100, 100)
+    assert tuple(px[0, 15]) == (140, 140, 140)
+    assert tuple(px[15, 0]) == (180, 180, 180)
+    assert tuple(px[15, 15]) == (220, 220, 220)
+
+    # chroma really reaches every upsampled pixel
+    colored = [dc(128)] * 4 + [dc(128), dc(180)]
+    px2 = decode_jpeg_pixels(
+        make_jpeg_from_quantized(16, 16, colored, sampling=((2, 2), (1, 1), (1, 1)))
+    )
+    expect_r = int(round(128 + 1.402 * (180 - 128)))
+    assert abs(int(px2[3, 12, 0]) - expect_r) <= 1
+
+    # partial-MCU crop: 10x12 image inside one 16x16 MCU
+    px3 = decode_jpeg_pixels(
+        make_jpeg_from_quantized(10, 12, blocks, sampling=((2, 2), (1, 1), (1, 1)))
+    )
+    assert px3.shape == (12, 10, 3)
+
+    # 4:2:2 (Y 2x1): MCU 16x8 = 2 Y + Cb + Cr
+    b422 = [dc(90), dc(210), dc(128), dc(128)]
+    px4 = decode_jpeg_pixels(
+        make_jpeg_from_quantized(16, 8, b422, sampling=((2, 1), (1, 1), (1, 1)))
+    )
+    assert px4.shape == (8, 16, 3)
+    assert tuple(px4[4, 0]) == (90, 90, 90)
+    assert tuple(px4[4, 15]) == (210, 210, 210)
+
+
+def test_jpeg_420_multi_mcu_dc_prediction():
+    """DC prediction chains correctly across MCUs per component in the
+    interleaved 4:2:0 layout (2x1 MCUs = 12 blocks)."""
+    from pprl_spark.fixtures import make_jpeg_from_quantized
+    from pprl_spark.spark.multimodal import decode_jpeg_pixels
+
+    def dc(v):
+        blk = [0] * 64
+        blk[0] = 8 * (v - 128)
+        return blk
+
+    # MCU0: Y quadrants 10,20,30,40 Cb 100 Cr 150; MCU1: 50,60,70,80, 110, 160
+    blocks = ([dc(v) for v in (10, 20, 30, 40)] + [dc(100), dc(150)]
+              + [dc(v) for v in (50, 60, 70, 80)] + [dc(110), dc(160)])
+    px = decode_jpeg_pixels(
+        make_jpeg_from_quantized(32, 16, blocks, sampling=((2, 2), (1, 1), (1, 1)))
+    )
+    assert px.shape == (16, 32, 3)
+    # luma quadrants of each MCU land in the right places: recompute Y
+    # from the decoded RGB at neutral-free positions is messy; instead
+    # decode a grayscale-interpretation by checking the G channel ordering
+    g = px[:, :, 1].astype(int)
+    assert g[0, 0] < g[0, 15] < g[8, 0] < g[8, 15]          # MCU0 quadrants
+    assert g[0, 16] < g[0, 31] < g[8, 16] < g[8, 31]        # MCU1 quadrants
