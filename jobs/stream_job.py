@@ -1,6 +1,7 @@
 """Composed Structured-Streaming job: continuously-arriving pages →
-exact dedup (watermark-bounded state) → CLK encode → parquet sink, with
-a per-lang stateful distinct sketch as a second output.
+quality filter (stateless projection, r4) → exact dedup
+(watermark-bounded state) → CLK encode → parquet sink — the streaming
+counterpart of jobs/dedup_job.py's batch curation stages.
 
 Launch (sandbox):
     python jobs/stream_job.py --src /tmp/pages_in --out /tmp/stream_out \
@@ -26,10 +27,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 PAGES_SCHEMA = "url string, text string, lang string, ts timestamp"
 
 
-def build_query(spark, src: str, out: str, ckpt: str, once: bool):
+def build_query(spark, src: str, out: str, ckpt: str, once: bool,
+                rules=None):
     from pprl_spark.config import (CLKFilter, HashConfig, HashFunctionConfig,
                                    MaskConfig)
-    from pprl_spark.streaming import streaming_dedup_exact, streaming_mask
+    from pprl_spark.spark.quality import FilterRules
+    from pprl_spark.streaming import (streaming_dedup_exact, streaming_mask,
+                                      streaming_quality_filter)
 
     cfg = MaskConfig(
         filter=CLKFilter(1024, 3),
@@ -39,7 +43,14 @@ def build_query(spark, src: str, out: str, ckpt: str, once: bool):
         prepend_attribute_name=False,
     )
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
-    deduped = streaming_dedup_exact(stream, "text", "ts", watermark="2 hours")
+    # permissive defaults: the stage is always in the plan (stateless
+    # projection), the caller tightens thresholds per corpus
+    filtered = (
+        streaming_quality_filter(stream, rules or FilterRules(min_tokens=0))
+        .where("keep")
+        .select("url", "text", "lang", "ts")
+    )
+    deduped = streaming_dedup_exact(filtered, "text", "ts", watermark="2 hours")
     encoded = streaming_mask(
         deduped.withColumnRenamed("url", "id"), cfg, ["text"]
     ).select("id", "bloom")

@@ -948,3 +948,36 @@ def test_jpeg_420_multi_mcu_dc_prediction():
     g = px[:, :, 1].astype(int)
     assert g[0, 0] < g[0, 15] < g[8, 0] < g[8, 15]          # MCU0 quadrants
     assert g[0, 16] < g[0, 31] < g[8, 16] < g[8, 31]        # MCU1 quadrants
+
+
+def test_stream_job_quality_stage_filters(spark, tmp_path):
+    """The composed streaming job's quality stage actually drops rows
+    when rules are tightened (and the permissive default passes all)."""
+    import importlib.util
+    import pathlib
+    from datetime import datetime, timedelta
+
+    from pprl_spark.spark.quality import FilterRules
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_job",
+        pathlib.Path(__file__).resolve().parent.parent / "jobs" / "stream_job.py",
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("u1", "one two three four five words here", "en", t0),
+        ("u2", "short", "en", t0 + timedelta(minutes=1)),
+        ("u3", "another long enough document with many words", "en",
+         t0 + timedelta(minutes=2)),
+    ]
+    spark.createDataFrame(rows, job.PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = job.build_query(spark, src, out, ckpt, once=True,
+                        rules=FilterRules(min_tokens=3))
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).collect()
+    assert {r["id"] for r in got} == {"u1", "u3"}  # u2 too short
