@@ -282,7 +282,11 @@ def _gif_lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
         if next_code < 4096:
             tbl[key] = next_code
             next_code += 1
-            if next_code == (1 << width) and width < 12:
+            # LATE width change to match real-world GIF encoders (widen
+            # only once a code that cannot fit in the current width has
+            # been assigned; the decoder's table trails by one entry, so
+            # its mirror rule is len(tbl) == 2^width).
+            if next_code == (1 << width) + 1 and width < 12:
                 width += 1
             prefix = byte
         else:
@@ -428,18 +432,24 @@ def _jpeg_encode_blocks(blocks, writer: _JpegBitWriter, counts: tuple = (1,)):
 
 def make_jpeg_from_quantized(
     width: int, height: int, blocks, n_components: int = 1,
-    sampling: "tuple | None" = None,
+    sampling: "tuple | None" = None, scan_order: "tuple | None" = None,
 ) -> bytes:
     """Assemble a complete baseline JPEG from quantized DCT coefficient
     blocks (MCU-interleaved, 64 ints each, natural order), quant table
     all-ones.  ``sampling`` is a per-component (h_i, v_i) tuple —
     ``((2, 2), (1, 1), (1, 1))`` is 4:2:0 (blocks per MCU: 4 Y, 1 Cb,
-    1 Cr); default all-(1, 1) = 4:4:4."""
+    1 Cr); default all-(1, 1) = 4:4:4.  ``scan_order`` permutes the SOS
+    component list (frame-component indices, default identity) — the
+    entropy stream interleaves in SCAN order, so ``blocks`` must be
+    supplied in that order too; spec-legal and used to pin the decoder's
+    selector-resolution behavior (ADVICE r4)."""
     import struct
 
     if sampling is None:
         sampling = tuple((1, 1) for _ in range(n_components))
     n_components = len(sampling)
+    if scan_order is None:
+        scan_order = tuple(range(n_components))
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -462,10 +472,12 @@ def make_jpeg_from_quantized(
         bytes([0x00]) + bytes(dc_counts) + bytes(_JPEG_DC_SYMBOLS)
         + bytes([0x10]) + bytes(ac_counts) + bytes(_JPEG_AC_SYMBOLS),
     )
-    scan_spec = b"".join(bytes([c + 1, 0x00]) for c in range(n_components))
+    scan_spec = b"".join(bytes([c + 1, 0x00]) for c in scan_order)
     sos = seg(0xFFDA, bytes([n_components]) + scan_spec + bytes([0, 63, 0]))
     w = _JpegBitWriter()
-    _jpeg_encode_blocks(blocks, w, tuple(hi * vi for hi, vi in sampling))
+    _jpeg_encode_blocks(
+        blocks, w, tuple(sampling[c][0] * sampling[c][1] for c in scan_order)
+    )
     return b"\xff\xd8" + dqt + sof + dht + sos + w.flush() + b"\xff\xd9"
 
 

@@ -455,13 +455,15 @@ def _gif_lzw_decode(blocks: bytes, min_code_size: int) -> bytes:
         out += entry
         if len(tbl) < 4096:
             tbl.append(tbl[prev] + entry[:1])
-            # EARLY width change: the decoder's table trails the encoder's
-            # by one entry (the encoder adds immediately after emitting a
-            # code, the decoder only on reading the NEXT one), so the next
-            # code on the wire is already wide when our table holds
-            # 2^width − 1 entries — widen one add sooner than the
-            # encoder-side rule.
-            if len(tbl) + 1 == (1 << width) and width < 12:
+            # LATE width change (standard GIF, giflib convention): widen
+            # only when the table is full at the current width, i.e. the
+            # next entry to be added would get code 2^width.  The decoder's
+            # table trails the encoder's by one entry, which is exactly why
+            # this lines up with the encoder widening at next_code ==
+            # 2^width + 1.  (TIFF LZW widens one add earlier — using that
+            # rule here rejects every real-world GIF with "code beyond
+            # table"; verified against python stdlib idlelib icon GIFs.)
+            if len(tbl) == (1 << width) and width < 12:
                 width += 1
         prev = code
 
@@ -710,6 +712,19 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             ]
             pred = [0] * len(comps)
             comp_q = {cid: qtables[tq] for cid, tq, _, _ in comps}
+            # resolve each scan entry to its FRAME component by matching
+            # the component selector cs against the SOF0 ids — a
+            # spec-legal JPEG may list scan components in a different
+            # order than the frame header (ADVICE r4), and positional
+            # indexing would swap planes / use the wrong geometry
+            comp_ids = [c[0] for c in comps]
+            scan_fidx = []
+            for cs, _dc, _ac in scan:
+                if cs not in comp_ids:
+                    raise ValueError(
+                        "corrupt JPEG: scan component id %d not in frame" % cs
+                    )
+                scan_fidx.append(comp_ids.index(cs))
 
             def _decode_block(dc_tbl, ac_tbl, ci):
                 coef = np.zeros(64, dtype=np.int32)
@@ -747,14 +762,14 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                         reader.n = 0
                         reader.restart_hit = False
                     mcu += 1
-                    for ci, (cs, dc_id, ac_id) in enumerate(scan):
+                    for (cs, dc_id, ac_id), ci in zip(scan, scan_fidx):
                         _, _, hi, vi = comps[ci]
                         dc_tbl = htables[(0, dc_id)]
                         ac_tbl = htables[(1, ac_id)]
                         for byi in range(vi):
                             for bxi in range(hi):
                                 block = _decode_block(dc_tbl, ac_tbl, ci)
-                                deq = block * comp_q[comps[ci][0]]
+                                deq = block * comp_q[cs]
                                 px = a.T @ deq.astype(np.float64) @ a
                                 r0 = (my * vi + byi) * 8
                                 c0 = (mx * hi + bxi) * 8

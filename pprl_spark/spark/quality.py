@@ -39,6 +39,8 @@ __all__ = [
     "dup_line_fraction",
     "top_bigram_fraction",
     "top_bigram_fraction_udf",
+    "ngram_char_stats",
+    "ngram_char_stats_udf",
     "repetition_stats",
     "filter_documents",
     "streaming_quality_filter",
@@ -133,6 +135,181 @@ def repetition_stats(
     )
 
 
+# (count, gram-char-length) packed into one BIGINT so "modal n-gram,
+# ties broken by longest gram" is a single deterministic max on BOTH
+# engines (Spark and the DuckDB oracle): packed = count·2^30 + min(len,
+# 2^30−1).  count < 2^30 grams per document and count·2^30 + len < 2^63
+# hold for any physically possible document.
+_PACK = 1 << 30
+
+
+def ngram_char_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The full Gopher repetition-signal family (Rae et al. 2021 §A1.1)
+    per document, ONE corpus pass for all n:
+
+    * ``top_{n}gram_char_frac`` (n in ``top_ns``): characters covered by
+      the most frequent word n-gram — ``count·len(gram) / len(text)`` —
+      ties on count broken deterministically by the LONGEST gram.
+    * ``dup_{n}gram_char_frac`` (n in ``dup_ns``): character mass of
+      n-gram occurrences whose gram appears ≥ 2 times, over the total
+      n-gram character mass — ``Σ_{count≥2} count·len / Σ count·len``.
+      (Gopher marks character *positions* so overlapping repeats are not
+      double-counted; that needs per-position state and is neither
+      SQL-expressible nor shuffle-friendly.  This occurrence-mass form
+      over-counts overlaps in numerator and denominator alike, is
+      monotone in the same repetition behavior, and stays in [0, 1].)
+
+    Plan: words → one explode of all (n, gram) windows → two-level hash
+    aggregate — (id, n, gram) counts with map-side combine, then per-id
+    conditional aggregates — → broadcast-friendly slim join back to
+    (id, len(text)).  Same shuffle shape as the tf pass the pipeline
+    already runs; gram keys are content-uniform so no skew handling is
+    needed.  Returns one row per input id (missing n-grams → 0.0)."""
+    all_ns = sorted({int(n) for n in (*top_ns, *dup_ns)})
+    if not all_ns or min(all_ns) < 2:
+        raise ValueError("n-gram sizes must be >= 2")
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        # small-scan guard (see dedup._banded): the explode otherwise
+        # runs on the parquet scan's 1-4 splits
+        df = df.repartition(parallelism)
+    words = _words(F.col(text_col))
+    nw = F.size(words)
+
+    def _grams(n: int) -> Column:
+        # NB: the lambda must take exactly ONE parameter — F.transform
+        # inspects the arity and passes (element, index) to two-parameter
+        # lambdas, so a `n=n` default-arg capture would be silently
+        # shadowed by the index column
+        def _window(i: Column) -> Column:
+            return F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice(words, i, n)).alias("g"),
+            )
+
+        return F.when(
+            nw >= n, F.transform(F.sequence(F.lit(1), nw - n + 1), _window)
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.flatten(F.array(*[_grams(n) for n in all_ns]))).alias("ng"),
+    ).select(id_col, F.col("ng.n").alias("__n"), F.col("ng.g").alias("__g"))
+    per_gram = (
+        exploded.groupBy(id_col, "__n", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__len", F.least(F.length("__g"), F.lit(_PACK - 1)))
+    )
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            F.max(
+                F.when(F.col("__n") == n, F.col("__c") * _PACK + F.col("__len"))
+            ).alias(f"__top{n}")
+        )
+    for n in dup_ns:
+        cl = F.col("__c") * F.col("__len")
+        aggs.append(
+            F.sum(
+                F.when((F.col("__n") == n) & (F.col("__c") >= 2), cl).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"__num{n}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("__n") == n, cl).otherwise(F.lit(0))).alias(
+                f"__den{n}"
+            )
+        )
+    per_doc = per_gram.groupBy(id_col).agg(*aggs)
+    base = df.select(F.col(id_col), F.length(F.col(text_col)).alias("__tlen"))
+    joined = base.join(per_doc, id_col, "left")
+    out_cols = [F.col(id_col)]
+    for n in top_ns:
+        packed = F.col(f"__top{n}")
+        out_cols.append(
+            F.when(
+                packed.isNull() | (F.col("__tlen") <= 0), F.lit(0.0)
+            )
+            .otherwise(
+                (
+                    F.shiftright(packed, 30) * (packed % _PACK) / F.col("__tlen")
+                ).cast("double")
+            )
+            .alias(f"top_{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        num, den = F.col(f"__num{n}"), F.col(f"__den{n}")
+        out_cols.append(
+            F.when(den.isNull() | (den <= 0), F.lit(0.0))
+            .otherwise((num / den).cast("double"))
+            .alias(f"dup_{n}gram_char_frac")
+        )
+    return joined.select(*out_cols)
+
+
+def ngram_char_stats_udf(
+    col: Column | str,
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> Column:
+    """Per-row STRUCT of the same Gopher n-gram signals as
+    :func:`ngram_char_stats`, as one Arrow-vectorized scalar UDF — the
+    stateless-projection form for streaming plans (the batch aggregate
+    shape would be a stream-stream self-join).  Tokenizes with the Java
+    ``\\s+`` (ASCII) convention so decisions are row-identical to batch;
+    the packed (count, len) tie-break is reproduced exactly."""
+    col = F.col(col) if isinstance(col, str) else col
+    fields = [f"top_{n}gram_char_frac double" for n in top_ns] + [
+        f"dup_{n}gram_char_frac double" for n in dup_ns
+    ]
+    schema = "struct<" + ", ".join(f.replace(" ", ": ", 1) for f in fields) + ">"
+
+    @F.pandas_udf(schema)
+    def _sig(texts: pd.Series) -> pd.DataFrame:
+        import re
+        from collections import Counter
+
+        java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        rows = []
+        for t in texts:
+            t = t or ""
+            ws = [w for w in java_ws.split(t) if w]
+            row = {}
+            for n in sorted({*top_ns, *dup_ns}):
+                grams = [
+                    " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+                ]
+                counts = Counter(grams)
+                if n in top_ns:
+                    key = f"top_{n}gram_char_frac"
+                    if not counts or not t:
+                        row[key] = 0.0
+                    else:
+                        best = max(
+                            c * _PACK + min(len(g), _PACK - 1)
+                            for g, c in counts.items()
+                        )
+                        row[key] = (best >> 30) * (best % _PACK) / len(t)
+                if n in dup_ns:
+                    key = f"dup_{n}gram_char_frac"
+                    den = sum(c * len(g) for g, c in counts.items())
+                    num = sum(
+                        c * len(g) for g, c in counts.items() if c >= 2
+                    )
+                    row[key] = num / den if den > 0 else 0.0
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return _sig(col)
+
+
 @dataclass(frozen=True)
 class FilterRules:
     """Thresholds for :func:`filter_documents`; the reject reason is the
@@ -144,6 +321,13 @@ class FilterRules:
     allowed_langs: tuple = ()  # empty = any language passes
     max_dup_word_fraction: float = 1.0
     max_top_bigram_fraction: float = 1.0
+    # full Gopher n-gram family (Rae et al. 2021 §A1.1), opt-in:
+    # ((n, threshold), ...) pairs.  Empty = the n-gram pass is skipped
+    # entirely (no extra corpus scan).  Gopher's published thresholds:
+    # top: (2, .20) (3, .18) (4, .16); dup: (5, .15) (6, .14) (7, .13)
+    # (8, .12) (9, .11) (10, .10).
+    max_top_ngram_fraction: tuple = ()
+    max_dup_ngram_fraction: tuple = ()
 
 
 def filter_documents(
@@ -162,6 +346,15 @@ def filter_documents(
             "lang_pred": lang_id_col(F.col(text_col)),
         }
     )
+    if rules.max_top_ngram_fraction or rules.max_dup_ngram_fraction:
+        ng = ngram_char_stats(
+            df,
+            id_col,
+            text_col,
+            top_ns=tuple(n for n, _ in rules.max_top_ngram_fraction),
+            dup_ns=tuple(n for n, _ in rules.max_dup_ngram_fraction),
+        )
+        sig = sig.join(ng, id_col, "left")
     return _decide(sig, rules)
 
 
@@ -182,6 +375,16 @@ def _reason_column(rules: FilterRules) -> Column:
         F.col("top_bigram_fraction") > rules.max_top_bigram_fraction,
         F.lit("repetition_bigram"),
     )
+    for n, thr in rules.max_top_ngram_fraction:
+        reason = reason.when(
+            F.col(f"top_{n}gram_char_frac") > thr,
+            F.lit(f"repetition_top{n}gram"),
+        )
+    for n, thr in rules.max_dup_ngram_fraction:
+        reason = reason.when(
+            F.col(f"dup_{n}gram_char_frac") > thr,
+            F.lit(f"repetition_dup{n}gram"),
+        )
     return reason.otherwise(F.lit("ok"))
 
 
@@ -201,11 +404,17 @@ def top_bigram_fraction_udf(col: Column | str) -> Column:
 
     @F.pandas_udf("double")
     def _tbf(texts: pd.Series) -> pd.Series:
+        import re
         from collections import Counter
 
+        # Java regex \s is ASCII-only ([ \t\n\x0b\f\r]); python's
+        # str.split() splits on Unicode whitespace (\xa0,  , ...)
+        # which would flip keep/reject decisions vs the batch Catalyst
+        # path near the threshold (ADVICE r4).  Mirror Java exactly.
+        java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
         out = []
         for t in texts:
-            words = [w for w in (t or "").split() if w]
+            words = [w for w in java_ws.split(t or "") if w]
             if len(words) < 2:
                 out.append(0.0)
                 continue
@@ -242,4 +451,19 @@ def streaming_quality_filter(
             "lang_pred": lang_id_col(F.col(text_col)),
         }
     )
+    if rules.max_top_ngram_fraction or rules.max_dup_ngram_fraction:
+        top_ns = tuple(n for n, _ in rules.max_top_ngram_fraction)
+        dup_ns = tuple(n for n, _ in rules.max_dup_ngram_fraction)
+        sig = sig.withColumn(
+            "__ng", ngram_char_stats_udf(F.col(text_col), top_ns, dup_ns)
+        )
+        for n in top_ns:
+            sig = sig.withColumn(
+                f"top_{n}gram_char_frac", F.col(f"__ng.top_{n}gram_char_frac")
+            )
+        for n in dup_ns:
+            sig = sig.withColumn(
+                f"dup_{n}gram_char_frac", F.col(f"__ng.dup_{n}gram_char_frac")
+            )
+        sig = sig.drop("__ng")
     return _decide(sig, rules)

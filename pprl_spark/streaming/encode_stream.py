@@ -82,7 +82,16 @@ def streaming_dedup_exact(
     duplicate could still arrive (the watermark horizon), so state size
     follows the event-time window, not the stream's history — the
     streaming counterpart of the batch ``exact_dedup`` (same two-lane
-    128-bit key, so a 10^12-row stream gets the same collision margin)."""
+    128-bit key, so a 10^12-row stream gets the same collision margin).
+
+    .. note:: **State-schema version 2** (the ``__k2`` lane seeds with the
+       salt first — leading-salt fix, round 4).  The dedup key is part of
+       the state-store contents, so checkpoints written by the v1 trailing-
+       salt build are NOT compatible: rows recorded under the old key pair
+       are not recognized by this build, and each previously-seen document
+       would leak through once.  When upgrading across this change, restart
+       the stream from a FRESH checkpoint directory (re-reading the source
+       from the desired offset) rather than resuming the old one."""
     if not stream_df.isStreaming:
         raise ValueError("streaming_dedup_exact expects a streaming DataFrame")
     # Salt literal FIRST (mirrors batch exact_dedup, spark/dedup.py): Spark

@@ -1,0 +1,268 @@
+"""Round-5 fixes and features (file named for the next driver round).
+
+ADVICE r4 regression tests:
+- GIF LZW width convention against REAL external-encoder GIFs
+  (python stdlib idlelib icons), not just our own fixture round-trips.
+- streaming quality-filter bigram tokenization parity with Java \\s+.
+- JPEG SOS component-selector resolution.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import struct
+
+import pytest
+
+
+def _idlelib_gifs():
+    try:
+        import idlelib  # noqa: F401
+    except ImportError:  # pragma: no cover
+        return []
+    icons = os.path.join(os.path.dirname(idlelib.__file__), "Icons")
+    return sorted(glob.glob(os.path.join(icons, "*.gif")))
+
+
+def _extract_first_frame(payload: bytes):
+    """(min_code_size, lzw_data, iw, ih, interlaced) of the first image."""
+    flags = payload[10]
+    i = 13 + ((2 << (flags & 7)) * 3 if flags & 0x80 else 0)
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x21:  # extension
+            i += 2
+            while payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            _ix, _iy, iw, ih, ifl = struct.unpack_from("<HHHHB", payload, i + 1)
+            i += 10
+            if ifl & 0x80:
+                i += (2 << (ifl & 7)) * 3
+            mcs = payload[i]
+            i += 1
+            data = bytearray()
+            while payload[i] != 0:
+                n = payload[i]
+                data += payload[i + 1 : i + 1 + n]
+                i += 1 + n
+            return mcs, bytes(data), iw, ih, bool(ifl & 0x40)
+        else:
+            break
+    raise ValueError("no image frame")
+
+
+@pytest.mark.skipif(not _idlelib_gifs(), reason="idlelib icons unavailable")
+def test_gif_lzw_decodes_real_external_encoder_gifs():
+    """ADVICE r4 (high): the decoder previously used the TIFF early-change
+    width rule and rejected every real-world GIF.  Ground truth: GIFs
+    shipped with the python stdlib, produced by external encoders.  The
+    decoded index stream must have exactly width*height entries and every
+    index must be in palette range."""
+    from pprl_spark.spark.multimodal import _gif_lzw_decode
+
+    files = _idlelib_gifs()
+    assert len(files) >= 5  # the stdlib ships ~9 icons
+    for path in files:
+        payload = open(path, "rb").read()
+        mcs, data, iw, ih, _interlaced = _extract_first_frame(payload)
+        out = _gif_lzw_decode(data, mcs)
+        assert len(out) == iw * ih, os.path.basename(path)
+        assert max(out) < 256
+
+
+@pytest.mark.skipif(not _idlelib_gifs(), reason="idlelib icons unavailable")
+def test_gif_image_pixel_features_on_real_gif(spark):
+    """End-to-end: image_pixel_features must not raise on a real GIF
+    (non-interlaced, global palette) — ADVICE r4 reported it raised
+    mid-job on any real payload."""
+    from pprl_spark.spark.multimodal import image_pixel_features
+
+    chosen = None
+    for path in _idlelib_gifs():
+        payload = open(path, "rb").read()
+        flags = payload[10]
+        _mcs, _data, _iw, _ih, interlaced = _extract_first_frame(payload)
+        if (flags & 0x80) and not interlaced:
+            chosen = payload
+            break
+    assert chosen is not None
+    df = spark.createDataFrame([(1, chosen)], "doc_id long, payload binary")
+    row = image_pixel_features(df).collect()[0]
+    assert row["format"] == "gif"
+    assert row["width"] > 0 and row["height"] > 0
+    assert 0.0 <= row["mean_full"] <= 255.0
+
+
+def test_streaming_bigram_udf_matches_batch_on_unicode_whitespace(spark):
+    """ADVICE r4: the UDF used python str.split() (Unicode whitespace)
+    while the batch path splits on Java \\s+ (ASCII-only).  Text joined
+    by \\xa0 / \\u2003 must produce identical fractions on both paths."""
+    from pprl_spark.spark.quality import (
+        top_bigram_fraction,
+        top_bigram_fraction_udf,
+    )
+
+    rows = [
+        (1, "x\xa0x x\xa0x x\xa0x y"),          # nbsp-joined tokens
+        (2, "a\u2003b a\u2003b c d"),  # em-space-joined tokens
+        (3, "plain words repeated words repeated"),
+        (4, "\xa0"),                              # only unicode ws: 1 word
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        r["doc_id"]: r["top_bigram_fraction"]
+        for r in top_bigram_fraction(df).collect()
+    }
+    via_udf = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", top_bigram_fraction_udf("text").alias("f")
+        ).collect()
+    }
+    assert via_udf == pytest.approx(batch)
+    # sanity: the old str.split() behavior would have read 5/6 here
+    assert batch[1] == pytest.approx(2 / 3)
+
+
+def test_jpeg_sos_component_order_differs_from_sof():
+    """ADVICE r4: a spec-legal JPEG may list SOS components in a
+    different order than SOF0; the decoder must resolve each scan entry
+    by its component selector, not by position.  One 8x8 MCU, 4:4:4,
+    DC-only blocks (bit-exact through the codec): Y=200, Cb=Cr=128 ->
+    every RGB channel must read 200.  With positional indexing the Y
+    plane would land in Cr and the image would decode wildly wrong."""
+    import numpy as np
+
+    from pprl_spark.fixtures import make_jpeg_from_quantized
+    from pprl_spark.spark.multimodal import decode_jpeg_pixels
+
+    def dc_block(v):
+        blk = [0] * 64
+        blk[0] = 8 * (v - 128)
+        return blk
+
+    y, cb, cr = dc_block(200), dc_block(128), dc_block(128)
+    # scan order (Cr, Y, Cb) = frame indices (2, 0, 1); blocks follow it
+    payload = make_jpeg_from_quantized(
+        8, 8, [cr, y, cb], sampling=((1, 1),) * 3, scan_order=(2, 0, 1)
+    )
+    px = decode_jpeg_pixels(payload)
+    assert px.shape == (8, 8, 3)
+    assert np.all(px == 200)
+    # identity order sanity check (same blocks, canonical layout)
+    px2 = decode_jpeg_pixels(
+        make_jpeg_from_quantized(8, 8, [y, cb, cr], sampling=((1, 1),) * 3)
+    )
+    assert np.array_equal(px, px2)
+
+
+# ---------------------------------------------------------------------------
+# Gopher n-gram repetition family (VERDICT r4 #2)
+# ---------------------------------------------------------------------------
+
+
+def _py_gopher(t, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+    """Independent reference implementation of the documented semantics."""
+    import re
+    from collections import Counter
+
+    PACK = 1 << 30
+    ws = [w for w in re.split(r"[ \t\n\x0b\f\r]+", t or "") if w]
+    out = {}
+    for n in sorted({*top_ns, *dup_ns}):
+        grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        counts = Counter(grams)
+        if n in top_ns:
+            if not counts or not t:
+                out[f"top_{n}gram_char_frac"] = 0.0
+            else:
+                best = max(
+                    c * PACK + min(len(g), PACK - 1) for g, c in counts.items()
+                )
+                out[f"top_{n}gram_char_frac"] = (
+                    (best >> 30) * (best % PACK) / len(t)
+                )
+        if n in dup_ns:
+            den = sum(c * len(g) for g, c in counts.items())
+            num = sum(c * len(g) for g, c in counts.items() if c >= 2)
+            out[f"dup_{n}gram_char_frac"] = num / den if den else 0.0
+    return out
+
+
+_GOPHER_TEXTS = [
+    (1, "spam spam spam spam spam eggs"),                      # heavy repeat
+    (2, "the quick brown fox jumps over one lazy dog while seventeen "
+        "green wizards calmly debate obscure maps beneath ancient oak "
+        "trees during winter solstice celebrations near quiet mountain "
+        "villages when curious travelers gather around warm fires "
+        "telling long stories about distant harbors golden deserts "
+        "forgotten castles silver rivers midnight journeys and many "
+        "unusual discoveries awaiting explorers everywhere tomorrow"),  # unique
+    (3, "a b c d e a b c d e a b c d e a b c d e"),            # period-5 loop
+    (4, "one two three"),                                      # < 5 words
+    (5, "solo"),                                               # 1 word: no grams
+    (6, ""),                                                   # empty
+    (7, "x " * 30),                                            # single word loop
+    (8, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # 10-gram dup
+]
+
+
+def test_ngram_char_stats_batch_matches_reference(spark):
+    from pprl_spark.spark.quality import ngram_char_stats
+
+    df = spark.createDataFrame(_GOPHER_TEXTS, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in ngram_char_stats(df).collect()}
+    for doc_id, t in _GOPHER_TEXTS:
+        expect = _py_gopher(t)
+        for k, v in expect.items():
+            assert got[doc_id][k] == pytest.approx(v), (doc_id, k)
+    # sanity on the semantics themselves
+    assert got[3]["dup_5gram_char_frac"] == pytest.approx(1.0)  # full loop
+    # doubled 10-word block: the only duplicated 10-gram window pair is
+    # (pos 1, pos 11) → occurrence mass ~2/11 (the documented deviation
+    # from Gopher's char-position marking, which would read ~1.0 here)
+    assert 0.1 < got[8]["dup_10gram_char_frac"] < 0.25
+    assert got[2]["dup_5gram_char_frac"] == 0.0                 # unique text
+    assert got[1]["top_2gram_char_frac"] > 0.5                  # spam spam
+
+
+def test_ngram_char_stats_udf_matches_batch(spark):
+    """Streaming (UDF) path row-identical to the batch aggregate,
+    including unicode-whitespace documents (Java \\s+ convention)."""
+    from pprl_spark.spark.quality import ngram_char_stats, ngram_char_stats_udf
+
+    rows = _GOPHER_TEXTS + [(9, "p\xa0q p\xa0q p\xa0q r s t u v w x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {r["doc_id"]: r.asDict() for r in ngram_char_stats(df).collect()}
+    udf_rows = df.select(
+        "doc_id", ngram_char_stats_udf("text").alias("s")
+    ).collect()
+    for r in udf_rows:
+        got = r["s"].asDict()
+        for k, v in got.items():
+            assert v == pytest.approx(batch[r["doc_id"]][k]), (r["doc_id"], k)
+
+
+def test_filter_documents_with_ngram_rules(spark):
+    from pprl_spark.spark.quality import FilterRules, filter_documents
+
+    rules = FilterRules(
+        min_tokens=2,
+        max_top_ngram_fraction=((2, 0.20), (3, 0.18), (4, 0.16)),
+        max_dup_ngram_fraction=(
+            (5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10)
+        ),
+    )
+    df = spark.createDataFrame(_GOPHER_TEXTS, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in filter_documents(df, rules).collect()}
+    assert out[1]["reject_reason"] == "repetition_top2gram"
+    assert out[2]["keep"] is True
+    assert out[3]["reject_reason"].startswith("repetition_top")
+    assert out[5]["reject_reason"] == "too_short"
+    # signal columns present and coalesced for gram-less docs
+    assert out[5]["dup_10gram_char_frac"] == 0.0
