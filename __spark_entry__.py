@@ -604,19 +604,44 @@ def documents_split(spark, sf_dir):
 
 
 def dedup_components(spark, sf_dir):
-    """Pairs → canonical dedup GROUPS: the verified MinHash near-dup pairs
-    (same pipeline as minhash_dedup_pairs) become edges of an undirected
-    graph; alternating large-star/small-star (Kiveris et al., SoCC'14)
+    """Pairs → canonical dedup GROUPS, BOTH modes (merged row, r5): the
+    verified MinHash near-dup pairs (same pipeline as
+    minhash_dedup_pairs) become edges of an undirected graph;
+    alternating large-star/small-star (Kiveris et al., SoCC'14)
     converges to (doc_id, component = min doc_id of its duplicate
-    cluster), singletons labeled with their own id.  The oracle replays
-    the same pair set and a recursive min-label propagation in SQL."""
+    cluster), singletons labeled with their own id.
+
+    ``mode='full'`` runs over all edges at once; ``mode='incremental'``
+    splits the edges into two deterministic batches and feeds batch 1's
+    labels into batch 2's run as ``prior_labels`` star edges (the
+    cross-batch ingest story) — the labeling is provably identical, so
+    ONE recursive-SQL oracle serves both modes.  The oracle replays the
+    same pair set and a recursive min-label propagation in SQL."""
     from pprl_spark.spark.dedup import jaccard_verify, minhash_lsh_pairs
-    from pprl_spark.spark.graph import assign_components
+    from pprl_spark.spark.graph import assign_components, connected_components
 
     docs = _load(spark, sf_dir, "documents")
     cands = minhash_lsh_pairs(docs, "doc_id", "text", q=5, num_hashes=128, bands=16)
-    pairs = jaccard_verify(cands, docs, "doc_id", "text", q=5, threshold=0.8)
-    return assign_components(docs, "doc_id", pairs.select("id_a", "id_b"))
+    pairs = (
+        jaccard_verify(cands, docs, "doc_id", "text", q=5, threshold=0.8)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # 3 CC runs below — evaluate the
+        # minhash pipeline once, not once per run
+    )
+    full = assign_components(docs, "doc_id", pairs)
+    lane = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(2))
+    lab1 = connected_components(pairs.where(lane == 0))
+    comp2 = connected_components(pairs.where(lane == 1), prior_labels=lab1)
+    inc = (
+        docs.select(F.col("doc_id"))
+        .join(comp2, F.col("doc_id") == comp2["node"], "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
+    )
+    return full.select(F.lit("full").alias("mode"), "*").unionByName(
+        inc.select(F.lit("incremental").alias("mode"), "*")
+    )
 
 
 def simhash_dup_pairs(spark, sf_dir):
@@ -782,6 +807,14 @@ def quality_filter(spark, sf_dir):
             allowed_langs=("en", "de", "fr", "es"),
             max_dup_word_fraction=0.55,
             max_top_bigram_fraction=0.12,
+            # full Gopher family at the published thresholds (r5):
+            # top-n-gram char fractions n=2-4, duplicated-n-gram mass
+            # fractions n=5-10 (quality.ngram_char_stats)
+            max_top_ngram_fraction=((2, 0.20), (3, 0.18), (4, 0.16)),
+            max_dup_ngram_fraction=(
+                (5, 0.15), (6, 0.14), (7, 0.13),
+                (8, 0.12), (9, 0.11), (10, 0.10),
+            ),
         ),
     )
     return out.select(
@@ -789,6 +822,12 @@ def quality_filter(spark, sf_dir):
         F.round("quality", 6).alias("quality_6dp"),
         F.round("dup_word_fraction", 6).alias("dup_word_frac_6dp"),
         F.round("top_bigram_fraction", 6).alias("top_bigram_frac_6dp"),
+        F.round("top_2gram_char_frac", 6).alias("top2g_frac_6dp"),
+        F.round("top_3gram_char_frac", 6).alias("top3g_frac_6dp"),
+        F.round("top_4gram_char_frac", 6).alias("top4g_frac_6dp"),
+        F.round("dup_5gram_char_frac", 6).alias("dup5g_frac_6dp"),
+        F.round("dup_7gram_char_frac", 6).alias("dup7g_frac_6dp"),
+        F.round("dup_10gram_char_frac", 6).alias("dup10g_frac_6dp"),
         "keep", "reject_reason",
     )
 
@@ -1783,15 +1822,67 @@ FROM s
 
 def _sql_quality_filter() -> str:
     """Mirror of quality.filter_documents at the driver query's rules:
-    signals recomputed from scratch in SQL (words/bigram lists, Gopher
-    repetition fractions, the 3-band heuristic quality), language via the
-    same argmax-stopword construction as _sql_langid, reasons in the same
-    first-failing order."""
+    signals recomputed from scratch in SQL (words/bigram lists, the full
+    Gopher n-gram family via a relational unnest + two-level GROUP BY —
+    the same plan shape as quality.ngram_char_stats — the 3-band
+    heuristic quality), language via the same argmax-stopword
+    construction as _sql_langid, reasons in the same first-failing
+    order.  The packed (count·2^30 + len) modal-gram tie-break is
+    integer-exact on both engines."""
+    top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    PACK = 1 << 30
+    gram_selects = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {n} AS n,"
+        f" unnest([array_to_string(words[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' ')"
+        f" FOR i IN range(1, length(words) - {n} + 2)]) AS g FROM base"
+        for n in sorted({*top_ns, *dup_ns})
+    )
+    pd_aggs = ",\n         ".join(
+        [
+            f"max(CASE WHEN n = {n} THEN c * {PACK} + len END) AS top{n}"
+            for n in top_ns
+        ]
+        + [
+            f"CAST(sum(CASE WHEN n = {n} AND c >= 2 THEN c * len ELSE 0 END) AS BIGINT) AS num{n},\n"
+            f"         CAST(sum(CASE WHEN n = {n} THEN c * len ELSE 0 END) AS BIGINT) AS den{n}"
+            for n in dup_ns
+        ]
+    )
+    top_fracs = ",\n         ".join(
+        f"CASE WHEN p.top{n} IS NULL OR length(s.text) = 0 THEN 0.0 ELSE"
+        f" ((p.top{n} >> 30) * (p.top{n} % {PACK}))::DOUBLE / length(s.text) END AS top{n}f"
+        for n in top_ns
+    )
+    dup_fracs = ",\n         ".join(
+        f"CASE WHEN p.den{n} IS NULL OR p.den{n} <= 0 THEN 0.0 ELSE"
+        f" p.num{n}::DOUBLE / p.den{n} END AS dup{n}f"
+        for n in dup_ns
+    )
+    top_whens = "\n              ".join(
+        f"WHEN s.top{n}f > {thr} THEN 'repetition_top{n}gram'"
+        for n, thr in ((2, 0.20), (3, 0.18), (4, 0.16))
+    )
+    dup_whens = "\n              ".join(
+        f"WHEN s.dup{n}f > {thr} THEN 'repetition_dup{n}gram'"
+        for n, thr in (
+            (5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10)
+        )
+    )
     return rf"""
 WITH base AS (
   SELECT doc_id, text,
          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
   FROM documents
+), gr AS (
+    {gram_selects}
+), pg AS (
+  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c,
+         CAST(least(length(g), {PACK - 1}) AS BIGINT) AS len
+  FROM gr GROUP BY doc_id, n, g
+), pd AS (
+  SELECT doc_id,
+         {pd_aggs}
+  FROM pg GROUP BY doc_id
 ), sig AS (
   SELECT doc_id, text, words,
          CAST(length(words) AS BIGINT) AS n_tokens,
@@ -1802,33 +1893,46 @@ WITH base AS (
           FOR i IN range(1, length(words))] AS bg
   FROM base
 ), sig2 AS (
-  SELECT doc_id, n_tokens, dwf,
-         CASE WHEN length(bg) = 0 THEN 0.0
-              ELSE list_max([length(list_filter(bg, y -> y = x))
-                             FOR x IN list_distinct(bg)])
-                   / length(bg)::DOUBLE
+  SELECT s.doc_id, s.text, s.n_tokens, s.dwf,
+         CASE WHEN length(s.bg) = 0 THEN 0.0
+              ELSE list_max([length(list_filter(s.bg, y -> y = x))
+                             FOR x IN list_distinct(s.bg)])
+                   / length(s.bg)::DOUBLE
          END AS tbf,
-         ((CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END)
-          + (CASE WHEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
-                       / greatest(length(text), 1)::DOUBLE <= 0.2 THEN 1.0 ELSE 0.0 END)
-          + (CASE WHEN length(text)::DOUBLE / greatest(length(words), 1)
+         ((CASE WHEN length(s.text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN (length(s.text) - length(regexp_replace(s.text, '[^A-Za-z0-9\s]', '', 'g')))
+                       / greatest(length(s.text), 1)::DOUBLE <= 0.2 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN length(s.text)::DOUBLE / greatest(length(s.words), 1)
                   BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
-  FROM sig
+  FROM sig s
+), sig3 AS (
+  SELECT s.doc_id, s.n_tokens, s.dwf, s.tbf, s.quality,
+         {top_fracs},
+         {dup_fracs}
+  FROM sig2 s LEFT JOIN pd p ON p.doc_id = s.doc_id
 ), lang AS ({_sql_langid()}), decided AS (
-  SELECT s.doc_id, s.n_tokens, l.lang_pred, s.quality, s.dwf, s.tbf,
+  SELECT s.*, l.lang_pred,
          CASE WHEN s.n_tokens < 12 THEN 'too_short'
               WHEN s.n_tokens > 60 THEN 'too_long'
               WHEN s.quality < 0.5 THEN 'low_quality'
               WHEN l.lang_pred NOT IN ('en', 'de', 'fr', 'es') THEN 'lang'
               WHEN s.dwf > 0.55 THEN 'repetition_words'
               WHEN s.tbf > 0.12 THEN 'repetition_bigram'
+              {top_whens}
+              {dup_whens}
               ELSE 'ok' END AS reject_reason
-  FROM sig2 s JOIN lang l ON l.doc_id = s.doc_id
+  FROM sig3 s JOIN lang l ON l.doc_id = s.doc_id
 )
 SELECT doc_id, n_tokens, lang_pred,
        round(quality, 6) AS quality_6dp,
        round(dwf, 6) AS dup_word_frac_6dp,
        round(tbf, 6) AS top_bigram_frac_6dp,
+       round(top2f, 6) AS top2g_frac_6dp,
+       round(top3f, 6) AS top3g_frac_6dp,
+       round(top4f, 6) AS top4g_frac_6dp,
+       round(dup5f, 6) AS dup5g_frac_6dp,
+       round(dup7f, 6) AS dup7g_frac_6dp,
+       round(dup10f, 6) AS dup10g_frac_6dp,
        (reject_reason = 'ok') AS keep,
        reject_reason
 FROM decided
@@ -2116,8 +2220,12 @@ WITH RECURSIVE pairs AS (
   SELECT e.v AS node, l.label
   FROM lab l JOIN epairs e ON e.u = l.node
   WHERE l.label < e.v
+), cc AS (
+  SELECT node AS doc_id, min(label) AS component FROM lab GROUP BY node
 )
-SELECT node AS doc_id, min(label) AS component FROM lab GROUP BY node
+SELECT 'full' AS mode, doc_id, component FROM cc
+UNION ALL
+SELECT 'incremental' AS mode, doc_id, component FROM cc
 """
 
 

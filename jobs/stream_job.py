@@ -28,9 +28,11 @@ PAGES_SCHEMA = "url string, text string, lang string, ts timestamp"
 
 
 def build_query(spark, src: str, out: str, ckpt: str, once: bool,
-                rules=None):
+                rules=None, eval_src: str | None = None,
+                decontaminate_n: int = 13):
     from pprl_spark.config import (CLKFilter, HashConfig, HashFunctionConfig,
                                    MaskConfig)
+    from pprl_spark.spark.decontaminate import streaming_decontaminate
     from pprl_spark.spark.quality import FilterRules
     from pprl_spark.streaming import (streaming_dedup_exact, streaming_mask,
                                       streaming_quality_filter)
@@ -50,6 +52,13 @@ def build_query(spark, src: str, out: str, ckpt: str, once: bool,
         .where("keep")
         .select("url", "text", "lang", "ts")
     )
+    if eval_src is not None:
+        # benchmark decontamination at ingest (r5): a stateless
+        # broadcast-set membership stage, mirroring the batch
+        # decontaminate() stage of jobs/dedup_job.py
+        filtered = streaming_decontaminate(
+            filtered, spark.read.parquet(eval_src), "text", n=decontaminate_n
+        )
     deduped = streaming_dedup_exact(filtered, "text", "ts", watermark="2 hours")
     encoded = streaming_mask(
         deduped.withColumnRenamed("url", "id"), cfg, ["text"]
@@ -71,12 +80,16 @@ def main() -> None:
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--once", action="store_true")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--eval-src", default=None,
+                    help="parquet dir of benchmark docs (text column); "
+                    "enables the decontamination stage")
     args = ap.parse_args()
 
     from pprl_spark.spark.session import get_spark
 
     spark = get_spark("stream-job", master=args.master)
-    q = build_query(spark, args.src, args.out, args.ckpt, args.once)
+    q = build_query(spark, args.src, args.out, args.ckpt, args.once,
+                    eval_src=args.eval_src)
     q.awaitTermination()
     spark.stop()
 

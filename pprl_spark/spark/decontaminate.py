@@ -25,10 +25,18 @@ n words have zero n-grams and are clean by definition.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["word_ngram_hashes", "contamination_report", "decontaminate"]
+__all__ = [
+    "word_ngram_hashes",
+    "contamination_report",
+    "decontaminate",
+    "eval_gram_set",
+    "streaming_contamination_hits",
+    "streaming_decontaminate",
+]
 
 
 def word_ngram_hashes(col: Column | str, n: int = 13) -> Column:
@@ -96,3 +104,69 @@ def decontaminate(
         train_df, eval_df, id_col, text_col, n, min_hits, broadcast_eval
     ).where(F.col("contaminated")).select(id_col)
     return train_df.join(bad, id_col, "left_anti")
+
+
+# ------------------------------------------------------------- streaming
+
+def eval_gram_set(eval_df: DataFrame, text_col: str = "text", n: int = 13):
+    """Distinct eval-side n-gram hashes as a driver-side frozenset — the
+    broadcast payload for the streaming filter.  Eval sets are small by
+    this operator's contract (benchmarks are MBs; the collect is of
+    8-byte hashes, deduplicated on the executors first), so this is the
+    one place a ``collect()`` is the RIGHT scale call — the training
+    side never leaves the cluster."""
+    rows = (
+        eval_df.select(
+            F.explode(word_ngram_hashes(F.col(text_col), n)).alias("__g")
+        )
+        .distinct()
+        .collect()
+    )
+    return frozenset(r["__g"] for r in rows)
+
+
+def streaming_contamination_hits(
+    text_col: Column | str, gram_set, spark, n: int = 13
+) -> Column:
+    """``n_gram_hits`` as a STATELESS column over a streaming frame:
+    the n-gram hash array is computed JVM-side (``word_ngram_hashes``,
+    pure Catalyst), then an Arrow-vectorized UDF counts distinct members
+    of the broadcast eval set.  No explode, no state store, no
+    stream-static join — the stream plan stays a projection, exactly like
+    ``streaming_quality_filter``.  Row-identical to the batch
+    ``contamination_report`` (which uses a broadcast semi-join for the
+    same membership test)."""
+    bc = spark.sparkContext.broadcast(frozenset(gram_set))
+    grams = word_ngram_hashes(text_col, n)
+
+    @F.pandas_udf("long")
+    def _hits(arrays: pd.Series) -> pd.Series:
+        s = bc.value
+        return arrays.map(
+            lambda arr: len({int(g) for g in arr if int(g) in s})
+        ).astype("int64")
+
+    return _hits(grams)
+
+
+def streaming_decontaminate(
+    stream_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Streaming rows with contaminated documents REMOVED — the
+    ingest-time counterpart of :func:`decontaminate` for the streaming
+    curation graph (filter → decontaminate → dedup → encode).  The eval
+    set is resolved ONCE at stream-build time (static benchmarks); to
+    pick up a changed benchmark set, restart the stream."""
+    if not stream_df.isStreaming:
+        raise ValueError("streaming_decontaminate expects a streaming DataFrame")
+    grams = eval_gram_set(eval_df, text_col, n)
+    hits = streaming_contamination_hits(
+        F.col(text_col), grams, stream_df.sparkSession, n
+    )
+    return stream_df.withColumn("__hits", hits).where(
+        F.col("__hits") < min_hits
+    ).drop("__hits")

@@ -76,6 +76,7 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 50,
     checkpoint: bool = False,
+    prior_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Edge list → (node, component) where component is the minimum node
     id reachable from ``node``.  Covers every node that appears in an
@@ -84,12 +85,28 @@ def connected_components(
     Converges when a large-star + small-star round leaves the edge set
     unchanged; at that fixed point the edges are exactly
     (node, component_min) stars.
-    """
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
+
+    **Incremental mode** (``prior_labels`` = a previous run's
+    (node, component) output): the new edge batch is unioned with the
+    prior STAR edges instead of the prior raw edge list.  A star forest
+    has the same connectivity as the edges it came from, and the prior
+    component label is already that component's minimum node id, so the
+    result is IDENTICAL to a full recompute over (old ∪ new) edges —
+    but the iteration starts from an input whose prior part is already
+    depth-1 (one edge per previously-grouped node, hubs pre-collapsed).
+    At 10^12-document scale this is the cross-batch ingest story: each
+    batch runs CC over (its own candidate pairs ∪ yesterday's labels)
+    and never re-reads yesterday's pair list.  Completes the incremental
+    pipeline that ``dedup.minhash_lsh_pairs(df_other=...)`` starts."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if prior_labels is not None:
+        e = e.union(
+            prior_labels.select(
+                F.col("node").cast(e.schema["u"].dataType).alias("u"),
+                F.col("component").cast(e.schema["v"].dataType).alias("v"),
+            )
+        )
+    e = e.where(F.col("u") != F.col("v")).distinct()
     # materialize the input once: each star round reads its edge set
     # several times (both union branches + the min join), and without this
     # the upstream pair pipeline (e.g. the whole MinHash banding) would be

@@ -14,6 +14,7 @@ import os
 import struct
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _idlelib_gifs():
@@ -266,3 +267,207 @@ def test_filter_documents_with_ngram_rules(spark):
     assert out[5]["reject_reason"] == "too_short"
     # signal columns present and coalesced for gram-less docs
     assert out[5]["dup_10gram_char_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components (VERDICT r4 #3)
+# ---------------------------------------------------------------------------
+
+
+def _random_edges(rng, n_nodes, n_edges):
+    return [
+        (int(rng.randint(0, n_nodes)), int(rng.randint(0, n_nodes)))
+        for _ in range(n_edges)
+    ]
+
+
+def _cc_reference(edges):
+    """Union-find ground truth: node -> min node id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent if any(x in e for e in edges)}
+
+
+def test_incremental_cc_agrees_with_full_recompute(spark):
+    """CC over (batch1 + batch2 + batch3) edges must equal chaining
+    prior_labels through three incremental runs — on graphs with hubs,
+    chains, and cross-batch merges (components that only connect once a
+    later batch arrives)."""
+    import numpy as np
+
+    from pprl_spark.spark.graph import connected_components
+
+    rng = np.random.RandomState(42)
+    edges = _random_edges(rng, 300, 260)  # sparse: many small components
+    # long chain split across batches (worst case for label propagation)
+    edges += [(1000 + i, 1001 + i) for i in range(30)]
+    thirds = [edges[0::3], edges[1::3], edges[2::3]]
+
+    def df(e):
+        return spark.createDataFrame(
+            e or [(0, 0)], "id_a long, id_b long"
+        )
+
+    full = connected_components(df(edges))
+    labels = None
+    for batch in thirds:
+        labels = connected_components(df(batch), prior_labels=labels)
+        labels = labels.localCheckpoint(eager=True)
+    got_full = {r["node"]: r["component"] for r in full.collect()}
+    got_inc = {r["node"]: r["component"] for r in labels.collect()}
+    # incremental must cover every node full covers, with identical labels
+    assert got_inc == got_full
+    # and both must match the union-find ground truth on non-self edges
+    expect = _cc_reference([(u, v) for u, v in edges if u != v])
+    for node, comp in got_full.items():
+        assert expect[node] == comp
+
+
+def test_incremental_cc_empty_batch_is_identity(spark):
+    from pprl_spark.spark.graph import connected_components
+
+    base = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    labels = connected_components(base)
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    again = connected_components(empty, prior_labels=labels)
+    assert sorted(map(tuple, labels.collect())) == sorted(map(tuple, again.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: non-broadcast fallback (VERDICT r4 #5) and the
+# streaming stage (VERDICT r4 #7)
+# ---------------------------------------------------------------------------
+
+
+def _decon_frames(spark):
+    bench_sentence = (
+        "the capital of france is paris and the capital of spain is madrid "
+        "while the capital of italy is rome everyone knows"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro text " + bench_sentence + " trailing words here"),
+            (2, "completely unrelated content about gardening and soil "
+                "preparation for spring vegetables in raised beds today"),
+            (3, bench_sentence),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(bench_sentence,)], "text string")
+    return train, evals
+
+
+def test_contamination_report_shuffle_join_fallback(spark):
+    """broadcast_eval=False must produce identical output through a
+    shuffle join — the large-eval-set path.  Assert both the values and
+    the plan shape (no BroadcastHashJoin on the semi join)."""
+    from pprl_spark.spark.decontaminate import contamination_report
+
+    train, evals = _decon_frames(spark)
+    kw = dict(n=13, min_hits=1)
+    bc = contamination_report(train, evals, broadcast_eval=True, **kw)
+    sh = contamination_report(train, evals, broadcast_eval=False, **kw)
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
+    # assert on the PRE-adaptive plan: the declared shuffle join must not
+    # force a broadcast (at real eval-set scale that is what executes;
+    # at this test scale AQE legitimately upgrades the tiny shuffle
+    # stage to a broadcast join at runtime, which is desirable)
+    plan = sh._jdf.queryExecution().sparkPlan().toString()
+    semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi, plan
+    assert not any("Broadcast" in ln for ln in semi), plan
+    # and the broadcast path declares the broadcast up front
+    plan_bc = bc._jdf.queryExecution().sparkPlan().toString()
+    assert any(
+        "BroadcastHashJoin" in ln for ln in plan_bc.splitlines() if "LeftSemi" in ln
+    ), plan_bc
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming decisions (broadcast-set membership UDF) must keep
+    exactly the rows the batch decontaminate() keeps."""
+    from pprl_spark.spark.decontaminate import decontaminate
+
+    train, evals = _decon_frames(spark)
+    train = train.withColumn("ts", F.current_timestamp())
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ck"
+    train.write.parquet(str(src))
+
+    from pprl_spark.spark.decontaminate import streaming_decontaminate
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(str(src))
+    kept_stream = streaming_decontaminate(stream, evals, "text", n=13)
+    q = (
+        kept_stream.select("doc_id")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(str(out)).collect())
+    expect = sorted(
+        r["doc_id"] for r in decontaminate(train, evals, n=13).collect()
+    )
+    assert got == expect == [2, 4]
+
+
+def test_streaming_decontaminate_rejects_batch_df(spark):
+    from pprl_spark.spark.decontaminate import streaming_decontaminate
+
+    train, evals = _decon_frames(spark)
+    with pytest.raises(ValueError, match="streaming"):
+        streaming_decontaminate(train, evals)
+
+
+def test_stream_job_decontamination_stage(spark, tmp_path):
+    """The composed streaming job drops pages overlapping the benchmark
+    set when --eval-src is wired in (batch/stream curation graphs now
+    match: filter -> decontaminate -> dedup -> encode)."""
+    import importlib.util
+    import pathlib
+    from datetime import datetime, timedelta
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_job",
+        pathlib.Path(__file__).resolve().parent.parent / "jobs" / "stream_job.py",
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    src, out, ckpt, ev = (str(tmp_path / d) for d in ("src", "out", "ckpt", "ev"))
+    bench = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi")  # 14 words: one 13-gram window + one more
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("u1", "prefix " + bench + " suffix", "en", t0),
+        ("u2", "clean document with plenty of distinct words about other "
+               "topics entirely " + "filler " * 10, "en",
+         t0 + timedelta(minutes=1)),
+    ]
+    spark.createDataFrame(rows, job.PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame([(bench,)], "text string").write.parquet(ev)
+    q = job.build_query(spark, src, out, ckpt, once=True, eval_src=ev)
+    q.awaitTermination(180)
+    got = {r["id"] for r in spark.read.parquet(out).collect()}
+    assert got == {"u2"}
