@@ -108,8 +108,12 @@ def run_headline() -> dict:
             this_pass[name] = t
             if name not in timings or t < timings[name]:
                 timings[name] = t
-        # short control right after the pass attributes THIS window
-        control = round(_burn_throughput(CPUS, 300_000) / (CPUS * 1e6), 3)
+        # control right after the pass attributes THIS window.  3M hashes
+        # per proc (~3 s quiet): a shorter burn is dominated by Pool-spawn
+        # overhead and under-reads even quiet windows (~0.6 at 300k vs
+        # ~0.97 at 3M, measured) — the clean/stolen verdict needs the
+        # amortized number
+        control = round(_burn_throughput(CPUS, 3_000_000) / (CPUS * 1e6), 3)
         is_clean = control >= STEAL_FRACTION * QUIET_REF
         clean_passes += is_clean
         passes.append(

@@ -149,6 +149,7 @@ def ngram_char_stats(
     text_col: str = "text",
     top_ns: tuple = (2, 3, 4),
     dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+    with_top_bigram_occurrence: bool = False,
 ) -> DataFrame:
     """The full Gopher repetition-signal family (Rae et al. 2021 §A1.1)
     per document, ONE corpus pass for all n:
@@ -170,8 +171,15 @@ def ngram_char_stats(
     conditional aggregates — → broadcast-friendly slim join back to
     (id, len(text)).  Same shuffle shape as the tf pass the pipeline
     already runs; gram keys are content-uniform so no skew handling is
-    needed.  Returns one row per input id (missing n-grams → 0.0)."""
+    needed.  Returns one row per input id (missing n-grams → 0.0).
+
+    ``with_top_bigram_occurrence=True`` additionally emits the legacy
+    ``top_bigram_fraction`` (modal bigram count / total bigrams) from the
+    SAME pass, so :func:`filter_documents` needs no separate bigram
+    explode when the family is enabled."""
     all_ns = sorted({int(n) for n in (*top_ns, *dup_ns)})
+    if with_top_bigram_occurrence and 2 not in all_ns:
+        all_ns = sorted([2, *all_ns])
     if not all_ns or min(all_ns) < 2:
         raise ValueError("n-gram sizes must be >= 2")
     parallelism = df.sparkSession.sparkContext.defaultParallelism
@@ -227,6 +235,12 @@ def ngram_char_stats(
                 f"__den{n}"
             )
         )
+    if with_top_bigram_occurrence:
+        is2 = F.col("__n") == 2
+        aggs.append(F.max(F.when(is2, F.col("__c"))).alias("__bg_max"))
+        aggs.append(
+            F.sum(F.when(is2, F.col("__c")).otherwise(F.lit(0))).alias("__bg_tot")
+        )
     per_doc = per_gram.groupBy(id_col).agg(*aggs)
     base = df.select(F.col(id_col), F.length(F.col(text_col)).alias("__tlen"))
     joined = base.join(per_doc, id_col, "left")
@@ -250,6 +264,14 @@ def ngram_char_stats(
             F.when(den.isNull() | (den <= 0), F.lit(0.0))
             .otherwise((num / den).cast("double"))
             .alias(f"dup_{n}gram_char_frac")
+        )
+    if with_top_bigram_occurrence:
+        out_cols.append(
+            F.when(
+                F.col("__bg_max").isNull() | (F.col("__bg_tot") <= 0), F.lit(0.0)
+            )
+            .otherwise((F.col("__bg_max") / F.col("__bg_tot")).cast("double"))
+            .alias("top_bigram_fraction")
         )
     return joined.select(*out_cols)
 
@@ -339,22 +361,32 @@ def filter_documents(
     """Quality-filter decision per document: signals + ``keep`` boolean +
     ``reject_reason`` ('ok' when kept — NULL-free by design so the frame
     survives engine-comparison hashing)."""
-    sig = repetition_stats(df, id_col, text_col).withColumns(
-        {
-            "n_tokens": whitespace_token_count(F.col(text_col)),
-            "quality": quality_score(F.col(text_col)),
-            "lang_pred": lang_id_col(F.col(text_col)),
-        }
-    )
+    scalar_cols = {
+        "n_tokens": whitespace_token_count(F.col(text_col)),
+        "quality": quality_score(F.col(text_col)),
+        "lang_pred": lang_id_col(F.col(text_col)),
+    }
     if rules.max_top_ngram_fraction or rules.max_dup_ngram_fraction:
+        # one shared explode pass serves the whole n-gram family AND the
+        # legacy top-bigram occurrence signal — no separate bigram scan
+        narrow = df.withColumns(
+            {
+                "dup_word_fraction": dup_word_fraction(F.col(text_col)),
+                "dup_line_fraction": dup_line_fraction(F.col(text_col)),
+                **scalar_cols,
+            }
+        )
         ng = ngram_char_stats(
             df,
             id_col,
             text_col,
             top_ns=tuple(n for n, _ in rules.max_top_ngram_fraction),
             dup_ns=tuple(n for n, _ in rules.max_dup_ngram_fraction),
+            with_top_bigram_occurrence=True,
         )
-        sig = sig.join(ng, id_col, "left")
+        sig = narrow.join(ng, id_col, "left")
+    else:
+        sig = repetition_stats(df, id_col, text_col).withColumns(scalar_cols)
     return _decide(sig, rules)
 
 

@@ -471,3 +471,26 @@ def test_stream_job_decontamination_stage(spark, tmp_path):
     q.awaitTermination(180)
     got = {r["id"] for r in spark.read.parquet(out).collect()}
     assert got == {"u2"}
+
+
+def test_fused_bigram_occurrence_matches_standalone(spark):
+    """filter_documents with n-gram rules derives top_bigram_fraction
+    from the shared explode pass — values must equal the standalone
+    aggregate exactly."""
+    from pprl_spark.spark.quality import (
+        FilterRules,
+        filter_documents,
+        top_bigram_fraction,
+    )
+
+    df = spark.createDataFrame(_GOPHER_TEXTS, "doc_id long, text string")
+    rules = FilterRules(max_top_ngram_fraction=((3, 0.9),))
+    got = {
+        r["doc_id"]: r["top_bigram_fraction"]
+        for r in filter_documents(df, rules).collect()
+    }
+    expect = {
+        r["doc_id"]: r["top_bigram_fraction"]
+        for r in top_bigram_fraction(df).collect()
+    }
+    assert got == pytest.approx(expect)
