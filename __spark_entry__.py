@@ -815,6 +815,14 @@ def quality_filter(spark, sf_dir):
                 (5, 0.15), (6, 0.14), (7, 0.13),
                 (8, 0.12), (9, 0.11), (10, 0.10),
             ),
+            # line/paragraph repetition at the Gopher thresholds (r5);
+            # the sf corpus is single-line so these read 0.0 — the
+            # columns are still value-checked by the oracle and the
+            # rules exercise the full reason chain
+            max_dup_line_fraction=0.30,
+            max_dup_paragraph_fraction=0.30,
+            max_dup_line_char_fraction=0.20,
+            max_dup_paragraph_char_fraction=0.20,
         ),
     )
     return out.select(
@@ -828,6 +836,9 @@ def quality_filter(spark, sf_dir):
         F.round("dup_5gram_char_frac", 6).alias("dup5g_frac_6dp"),
         F.round("dup_7gram_char_frac", 6).alias("dup7g_frac_6dp"),
         F.round("dup_10gram_char_frac", 6).alias("dup10g_frac_6dp"),
+        F.round("dup_paragraph_fraction", 6).alias("dup_para_frac_6dp"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_6dp"),
+        F.round("dup_para_char_frac", 6).alias("dup_para_char_6dp"),
         "keep", "reject_reason",
     )
 
@@ -1883,17 +1894,46 @@ WITH base AS (
   SELECT doc_id,
          {pd_aggs}
   FROM pg GROUP BY doc_id
+), lu AS (
+  SELECT doc_id, 'l' AS k,
+         unnest(list_filter(regexp_split_to_array(text, '\n'),
+                            x -> trim(x) <> '')) AS u
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'p' AS k,
+         unnest(list_filter(regexp_split_to_array(text, '\n{{2,}}'),
+                            x -> trim(x) <> '')) AS u
+  FROM documents
+), pu AS (
+  SELECT doc_id, k, u, CAST(count(*) AS BIGINT) AS c,
+         CAST(length(u) AS BIGINT) AS len
+  FROM lu GROUP BY doc_id, k, u
+), pl AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN k = 'l' AND c >= 2 THEN c * len ELSE 0 END) AS BIGINT) AS lnum,
+         CAST(sum(CASE WHEN k = 'p' AND c >= 2 THEN c * len ELSE 0 END) AS BIGINT) AS pnum
+  FROM pu GROUP BY doc_id
 ), sig AS (
   SELECT doc_id, text, words,
          CAST(length(words) AS BIGINT) AS n_tokens,
          CASE WHEN length(words) = 0 THEN 0.0
               ELSE 1.0 - length(list_distinct(words)) / length(words)::DOUBLE
          END AS dwf,
+         list_filter(regexp_split_to_array(text, '\n'),
+                     x -> trim(x) <> '') AS ln_list,
+         list_filter(regexp_split_to_array(text, '\n{{2,}}'),
+                     x -> trim(x) <> '') AS pa_list,
          [words[CAST(i AS INT)] || ' ' || words[CAST(i + 1 AS INT)]
           FOR i IN range(1, length(words))] AS bg
   FROM base
 ), sig2 AS (
   SELECT s.doc_id, s.text, s.n_tokens, s.dwf,
+         CASE WHEN length(s.ln_list) = 0 THEN 0.0
+              ELSE 1.0 - length(list_distinct(s.ln_list))
+                   / length(s.ln_list)::DOUBLE END AS dlf,
+         CASE WHEN length(s.pa_list) = 0 THEN 0.0
+              ELSE 1.0 - length(list_distinct(s.pa_list))
+                   / length(s.pa_list)::DOUBLE END AS dpf,
          CASE WHEN length(s.bg) = 0 THEN 0.0
               ELSE list_max([length(list_filter(s.bg, y -> y = x))
                              FOR x IN list_distinct(s.bg)])
@@ -1906,10 +1946,15 @@ WITH base AS (
                   BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
   FROM sig s
 ), sig3 AS (
-  SELECT s.doc_id, s.n_tokens, s.dwf, s.tbf, s.quality,
+  SELECT s.doc_id, s.n_tokens, s.dwf, s.dlf, s.dpf, s.tbf, s.quality,
+         CASE WHEN q.lnum IS NULL OR length(s.text) = 0 THEN 0.0
+              ELSE q.lnum::DOUBLE / length(s.text) END AS dlcf,
+         CASE WHEN q.pnum IS NULL OR length(s.text) = 0 THEN 0.0
+              ELSE q.pnum::DOUBLE / length(s.text) END AS dpcf,
          {top_fracs},
          {dup_fracs}
   FROM sig2 s LEFT JOIN pd p ON p.doc_id = s.doc_id
+              LEFT JOIN pl q ON q.doc_id = s.doc_id
 ), lang AS ({_sql_langid()}), decided AS (
   SELECT s.*, l.lang_pred,
          CASE WHEN s.n_tokens < 12 THEN 'too_short'
@@ -1917,6 +1962,10 @@ WITH base AS (
               WHEN s.quality < 0.5 THEN 'low_quality'
               WHEN l.lang_pred NOT IN ('en', 'de', 'fr', 'es') THEN 'lang'
               WHEN s.dwf > 0.55 THEN 'repetition_words'
+              WHEN s.dlf > 0.30 THEN 'repetition_lines'
+              WHEN s.dpf > 0.30 THEN 'repetition_paragraphs'
+              WHEN s.dlcf > 0.20 THEN 'repetition_line_chars'
+              WHEN s.dpcf > 0.20 THEN 'repetition_paragraph_chars'
               WHEN s.tbf > 0.12 THEN 'repetition_bigram'
               {top_whens}
               {dup_whens}
@@ -1933,6 +1982,9 @@ SELECT doc_id, n_tokens, lang_pred,
        round(dup5f, 6) AS dup5g_frac_6dp,
        round(dup7f, 6) AS dup7g_frac_6dp,
        round(dup10f, 6) AS dup10g_frac_6dp,
+       round(dpf, 6) AS dup_para_frac_6dp,
+       round(dlcf, 6) AS dup_line_char_6dp,
+       round(dpcf, 6) AS dup_para_char_6dp,
        (reject_reason = 'ok') AS keep,
        reject_reason
 FROM decided

@@ -242,6 +242,20 @@ def _cmd_quality(args, spark) -> None:
         allowed_langs=tuple(args.lang) if args.lang else (),
         max_dup_word_fraction=args.max_dup_word_fraction,
         max_top_bigram_fraction=args.max_top_bigram_fraction,
+        max_dup_line_fraction=args.max_dup_line_fraction,
+        max_dup_paragraph_fraction=args.max_dup_paragraph_fraction,
+        max_dup_line_char_fraction=args.max_dup_line_char_fraction,
+        max_dup_paragraph_char_fraction=args.max_dup_paragraph_char_fraction,
+        # --gopher-ngrams switches on the full n-gram family at the
+        # published thresholds (Rae et al. 2021 §A1.1)
+        max_top_ngram_fraction=(
+            ((2, 0.20), (3, 0.18), (4, 0.16)) if args.gopher_ngrams else ()
+        ),
+        max_dup_ngram_fraction=(
+            ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10))
+            if args.gopher_ngrams
+            else ()
+        ),
     )
     out = filter_documents(docs, rules).select(
         "doc_id", "n_tokens", "lang_pred",
@@ -332,6 +346,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="allowed language (repeatable); omit to allow any")
     p.add_argument("--max-dup-word-fraction", type=float, default=1.0)
     p.add_argument("--max-top-bigram-fraction", type=float, default=1.0)
+    p.add_argument("--max-dup-line-fraction", type=float, default=1.0)
+    p.add_argument("--max-dup-paragraph-fraction", type=float, default=1.0)
+    p.add_argument("--max-dup-line-char-fraction", type=float, default=1.0)
+    p.add_argument("--max-dup-paragraph-char-fraction", type=float,
+                   default=1.0)
+    p.add_argument("--gopher-ngrams", action="store_true",
+                   help="enable top-n-gram (n=2-4) and duplicated-n-gram "
+                        "(n=5-10) rules at the published Gopher thresholds")
     p.add_argument("--keep-only", action="store_true",
                    help="write only kept documents")
     p.set_defaults(fn=_cmd_quality)

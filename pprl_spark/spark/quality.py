@@ -37,6 +37,9 @@ __all__ = [
     "FilterRules",
     "dup_word_fraction",
     "dup_line_fraction",
+    "dup_paragraph_fraction",
+    "line_dup_stats",
+    "line_dup_stats_udf",
     "top_bigram_fraction",
     "top_bigram_fraction_udf",
     "ngram_char_stats",
@@ -70,6 +73,116 @@ def dup_line_fraction(col: Column | str) -> Column:
     return F.when(n <= 0, F.lit(0.0)).otherwise(
         (F.lit(1.0) - F.size(F.array_distinct(lines)) / n).cast("double")
     )
+
+
+def dup_paragraph_fraction(col: Column | str) -> Column:
+    """1 − distinct/total over blank-line-separated paragraphs (Gopher
+    'duplicate paragraph fraction'; 0.0 when ≤1 paragraph)."""
+    col = F.col(col) if isinstance(col, str) else col
+    paras = F.filter(F.split(col, r"\n{2,}"), lambda s: F.trim(s) != "")
+    n = F.size(paras)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (F.lit(1.0) - F.size(F.array_distinct(paras)) / n).cast("double")
+    )
+
+
+def line_dup_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher's character-mass repetition signals for lines and
+    paragraphs, ONE explode pass for both unit kinds:
+
+    * ``dup_line_char_frac`` — characters inside lines occurring ≥ 2
+      times, over ``len(text)``.
+    * ``dup_para_char_frac`` — same over blank-line-separated paragraphs.
+
+    Unlike n-grams, lines/paragraphs are DISJOINT substrings, so
+    occurrence mass equals Gopher's char-position marking exactly (up to
+    the separator characters in the denominator).  Plan: explode
+    (id, kind, unit) → (id, kind, unit) hash aggregate with map-side
+    combine → per-id conditional sums → slim join back to (id,
+    len(text)).  Dense output: one row per input id, 0.0 when absent."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    col = F.col(text_col)
+    lines = F.filter(F.split(col, r"\n"), lambda s: F.trim(s) != "")
+    paras = F.filter(F.split(col, r"\n{2,}"), lambda s: F.trim(s) != "")
+
+    def _lane(kind: str, arr: Column) -> Column:
+        return F.transform(
+            arr,
+            lambda x: F.struct(F.lit(kind).alias("k"), x.alias("u")),
+        )
+
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.flatten(F.array(_lane("l", lines), _lane("p", paras)))).alias(
+            "ku"
+        ),
+    ).select(id_col, F.col("ku.k").alias("__k"), F.col("ku.u").alias("__u"))
+    per_unit = (
+        exploded.groupBy(id_col, "__k", "__u")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__len", F.length("__u"))
+    )
+    cl = F.col("__c") * F.col("__len")
+    per_doc = per_unit.groupBy(id_col).agg(
+        F.sum(
+            F.when((F.col("__k") == "l") & (F.col("__c") >= 2), cl).otherwise(0)
+        ).alias("__lnum"),
+        F.sum(
+            F.when((F.col("__k") == "p") & (F.col("__c") >= 2), cl).otherwise(0)
+        ).alias("__pnum"),
+    )
+    base = df.select(F.col(id_col), F.length(col).alias("__tlen"))
+    joined = base.join(per_doc, id_col, "left")
+
+    def _frac(num: Column) -> Column:
+        return (
+            F.when(num.isNull() | (F.col("__tlen") <= 0), F.lit(0.0))
+            .otherwise((num / F.col("__tlen")).cast("double"))
+        )
+
+    return joined.select(
+        F.col(id_col),
+        _frac(F.col("__lnum")).alias("dup_line_char_frac"),
+        _frac(F.col("__pnum")).alias("dup_para_char_frac"),
+    )
+
+
+def line_dup_stats_udf(col: Column | str) -> Column:
+    """Per-row STRUCT form of :func:`line_dup_stats` for streaming plans
+    (stateless projection).  Splitting conventions mirror the Catalyst
+    path: Java-regex ``\\n`` / ``\\n{2,}`` splits, units blank after
+    space-trim dropped."""
+    col = F.col(col) if isinstance(col, str) else col
+
+    @F.pandas_udf(
+        "struct<dup_line_char_frac: double, dup_para_char_frac: double>"
+    )
+    def _sig(texts: pd.Series) -> pd.DataFrame:
+        import re
+        from collections import Counter
+
+        para_re = re.compile(r"\n{2,}")
+        rows = []
+        for t in texts:
+            t = t or ""
+            tlen = len(t)
+            out = {}
+            for key, units in (
+                ("dup_line_char_frac", t.split("\n")),
+                ("dup_para_char_frac", para_re.split(t)),
+            ):
+                kept = [u for u in units if u.strip(" ")]
+                counts = Counter(kept)
+                num = sum(c * len(u) for u, c in counts.items() if c >= 2)
+                out[key] = num / tlen if tlen > 0 else 0.0
+            rows.append(out)
+        return pd.DataFrame(rows)
+
+    return _sig(col)
 
 
 def _top_bigram_per_doc(
@@ -343,6 +456,13 @@ class FilterRules:
     allowed_langs: tuple = ()  # empty = any language passes
     max_dup_word_fraction: float = 1.0
     max_top_bigram_fraction: float = 1.0
+    # Gopher line/paragraph repetition (§A1.1), opt-in at 1.0 = off:
+    # published thresholds dup-line .30 / dup-para .30 (count-based),
+    # dup-line-char .20 / dup-para-char .20 (character mass)
+    max_dup_line_fraction: float = 1.0
+    max_dup_paragraph_fraction: float = 1.0
+    max_dup_line_char_fraction: float = 1.0
+    max_dup_paragraph_char_fraction: float = 1.0
     # full Gopher n-gram family (Rae et al. 2021 §A1.1), opt-in:
     # ((n, threshold), ...) pairs.  Empty = the n-gram pass is skipped
     # entirely (no extra corpus scan).  Gopher's published thresholds:
@@ -366,6 +486,10 @@ def filter_documents(
         "quality": quality_score(F.col(text_col)),
         "lang_pred": lang_id_col(F.col(text_col)),
     }
+    if rules.max_dup_paragraph_fraction < 1.0:
+        scalar_cols["dup_paragraph_fraction"] = dup_paragraph_fraction(
+            F.col(text_col)
+        )
     if rules.max_top_ngram_fraction or rules.max_dup_ngram_fraction:
         # one shared explode pass serves the whole n-gram family AND the
         # legacy top-bigram occurrence signal — no separate bigram scan
@@ -387,6 +511,11 @@ def filter_documents(
         sig = narrow.join(ng, id_col, "left")
     else:
         sig = repetition_stats(df, id_col, text_col).withColumns(scalar_cols)
+    if (
+        rules.max_dup_line_char_fraction < 1.0
+        or rules.max_dup_paragraph_char_fraction < 1.0
+    ):
+        sig = sig.join(line_dup_stats(df, id_col, text_col), id_col, "left")
     return _decide(sig, rules)
 
 
@@ -403,6 +532,26 @@ def _reason_column(rules: FilterRules) -> Column:
         F.col("dup_word_fraction") > rules.max_dup_word_fraction,
         F.lit("repetition_words"),
     )
+    if rules.max_dup_line_fraction < 1.0:
+        reason = reason.when(
+            F.col("dup_line_fraction") > rules.max_dup_line_fraction,
+            F.lit("repetition_lines"),
+        )
+    if rules.max_dup_paragraph_fraction < 1.0:
+        reason = reason.when(
+            F.col("dup_paragraph_fraction") > rules.max_dup_paragraph_fraction,
+            F.lit("repetition_paragraphs"),
+        )
+    if rules.max_dup_line_char_fraction < 1.0:
+        reason = reason.when(
+            F.col("dup_line_char_frac") > rules.max_dup_line_char_fraction,
+            F.lit("repetition_line_chars"),
+        )
+    if rules.max_dup_paragraph_char_fraction < 1.0:
+        reason = reason.when(
+            F.col("dup_para_char_frac") > rules.max_dup_paragraph_char_fraction,
+            F.lit("repetition_paragraph_chars"),
+        )
     reason = reason.when(
         F.col("top_bigram_fraction") > rules.max_top_bigram_fraction,
         F.lit("repetition_bigram"),
@@ -473,16 +622,29 @@ def streaming_quality_filter(
     :func:`filter_documents` on the same rows."""
     if not stream_df.isStreaming:
         raise ValueError("streaming_quality_filter expects a streaming DataFrame")
-    sig = stream_df.withColumns(
-        {
-            "dup_word_fraction": dup_word_fraction(F.col(text_col)),
-            "dup_line_fraction": dup_line_fraction(F.col(text_col)),
-            "top_bigram_fraction": top_bigram_fraction_udf(F.col(text_col)),
-            "n_tokens": whitespace_token_count(F.col(text_col)),
-            "quality": quality_score(F.col(text_col)),
-            "lang_pred": lang_id_col(F.col(text_col)),
-        }
-    )
+    stream_cols = {
+        "dup_word_fraction": dup_word_fraction(F.col(text_col)),
+        "dup_line_fraction": dup_line_fraction(F.col(text_col)),
+        "top_bigram_fraction": top_bigram_fraction_udf(F.col(text_col)),
+        "n_tokens": whitespace_token_count(F.col(text_col)),
+        "quality": quality_score(F.col(text_col)),
+        "lang_pred": lang_id_col(F.col(text_col)),
+    }
+    if rules.max_dup_paragraph_fraction < 1.0:
+        stream_cols["dup_paragraph_fraction"] = dup_paragraph_fraction(
+            F.col(text_col)
+        )
+    sig = stream_df.withColumns(stream_cols)
+    if (
+        rules.max_dup_line_char_fraction < 1.0
+        or rules.max_dup_paragraph_char_fraction < 1.0
+    ):
+        sig = (
+            sig.withColumn("__ld", line_dup_stats_udf(F.col(text_col)))
+            .withColumn("dup_line_char_frac", F.col("__ld.dup_line_char_frac"))
+            .withColumn("dup_para_char_frac", F.col("__ld.dup_para_char_frac"))
+            .drop("__ld")
+        )
     if rules.max_top_ngram_fraction or rules.max_dup_ngram_fraction:
         top_ns = tuple(n for n, _ in rules.max_top_ngram_fraction)
         dup_ns = tuple(n for n, _ in rules.max_dup_ngram_fraction)

@@ -168,3 +168,23 @@ def test_cli_quality_filter(spark, tmp_path):
         "--min-tokens", "5", "--keep-only",
     ])
     assert {r["doc_id"] for r in _read_csv(str(kept))} == {"1", "2"}
+
+
+def test_cli_quality_gopher_ngrams_flag(spark, tmp_path):
+    docs = tmp_path / "docs2.csv"
+    docs.write_text(
+        "doc_id,text\n"
+        "1,spam spam spam spam spam spam spam spam spam spam\n"
+        "2,the of and to in that was for it is you he with on as at by "
+        "this had not are but from or have an they which one were all we "
+        "when your can said there use each she how their if will up other\n"
+    )
+    out = tmp_path / "q2.csv"
+    cli.main([
+        "quality", str(docs), str(out),
+        "--min-tokens", "5", "--gopher-ngrams",
+    ])
+    rows = {r["doc_id"]: r for r in _read_csv(str(out))}
+    assert rows["1"]["keep"] == "false"
+    assert rows["1"]["reject_reason"].startswith("repetition_")
+    assert rows["2"]["keep"] == "true"

@@ -494,3 +494,133 @@ def test_fused_bigram_occurrence_matches_standalone(spark):
         for r in top_bigram_fraction(df).collect()
     }
     assert got == pytest.approx(expect)
+
+
+# ---------------------------------------------------------------------------
+# Gopher line/paragraph char-mass signals (completes the §A1.1 table)
+# ---------------------------------------------------------------------------
+
+_LINE_TEXTS = [
+    (1, "hello world\nhello world\nsomething else\nhello world"),
+    (2, "para one text here\n\npara two other words\n\npara one text here"),
+    (3, "only a single line of text with no newlines at all"),
+    (4, "a\n\n\na\n\nb"),          # \n{2,} split; duplicated short para
+    (5, ""),
+    (6, "   \n  \nx\nx"),          # blank-after-trim lines dropped
+    # one repeated 2-line paragraph diluted by a 20-line unique paragraph:
+    # dup_line_fraction stays low (2/24) while dup_paragraph_fraction is
+    # 1/3 — the only shape where the paragraph rule can fire before lines
+    (7, "\n".join(f"unique line number {i} xx" for i in range(20))
+        + "\n\nrepeated alpha\nrepeated beta\n\nrepeated alpha\nrepeated beta"),
+]
+
+
+def _py_line_stats(t):
+    import re
+    from collections import Counter
+
+    out = {}
+    for key, units in (
+        ("dup_line_char_frac", (t or "").split("\n")),
+        ("dup_para_char_frac", re.split(r"\n{2,}", t or "")),
+    ):
+        kept = [u for u in units if u.strip(" ")]
+        counts = Counter(kept)
+        num = sum(c * len(u) for u, c in counts.items() if c >= 2)
+        out[key] = num / len(t) if t else 0.0
+    return out
+
+
+def test_line_dup_stats_matches_reference(spark):
+    from pprl_spark.spark.quality import line_dup_stats
+
+    df = spark.createDataFrame(_LINE_TEXTS, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in line_dup_stats(df).collect()}
+    for doc_id, t in _LINE_TEXTS:
+        expect = _py_line_stats(t)
+        for k, v in expect.items():
+            assert got[doc_id][k] == pytest.approx(v), (doc_id, k)
+    # the duplicated 11-char line appears 3x in a 50-char doc
+    assert got[1]["dup_line_char_frac"] == pytest.approx(33 / 50)
+    assert got[3]["dup_line_char_frac"] == 0.0
+
+
+def test_line_dup_stats_udf_matches_batch(spark):
+    from pprl_spark.spark.quality import line_dup_stats, line_dup_stats_udf
+
+    df = spark.createDataFrame(_LINE_TEXTS, "doc_id long, text string")
+    batch = {r["doc_id"]: r.asDict() for r in line_dup_stats(df).collect()}
+    for r in df.select("doc_id", line_dup_stats_udf("text").alias("s")).collect():
+        got = r["s"].asDict()
+        for k, v in got.items():
+            assert v == pytest.approx(batch[r["doc_id"]][k]), (r["doc_id"], k)
+
+
+def test_filter_documents_line_para_rules(spark):
+    from pprl_spark.spark.quality import FilterRules, filter_documents
+
+    rules = FilterRules(
+        min_tokens=1,
+        max_dup_line_fraction=0.30,
+        max_dup_paragraph_fraction=0.30,
+        max_dup_line_char_fraction=0.20,
+        max_dup_paragraph_char_fraction=0.20,
+    )
+    df = spark.createDataFrame(_LINE_TEXTS, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in filter_documents(df, rules).collect()}
+    assert out[1]["reject_reason"] == "repetition_lines"      # 2/4 dup lines
+    # doc 2's duplicate paragraph is also a duplicate line; the line rule
+    # is declared first, so it wins (first-failing-rule contract)
+    assert out[2]["reject_reason"] == "repetition_lines"
+    assert out[7]["reject_reason"] == "repetition_paragraphs"
+    assert out[3]["keep"] is True
+    assert out[3]["dup_para_char_frac"] == 0.0                # coalesced
+    # default rules: all four new thresholds inert
+    base = {r["doc_id"]: r for r in filter_documents(
+        df, FilterRules(min_tokens=1)).collect()}
+    assert all(not r["reject_reason"].startswith("repetition_line")
+               and not r["reject_reason"].startswith("repetition_para")
+               for r in base.values())
+
+
+def test_streaming_quality_filter_line_para_parity(spark, tmp_path):
+    """Streaming decisions with the line/paragraph rules enabled are
+    row-identical to batch filter_documents on multi-line docs."""
+    from pprl_spark.spark.quality import FilterRules, filter_documents
+
+    rules = FilterRules(
+        min_tokens=1,
+        max_dup_line_fraction=0.30,
+        max_dup_paragraph_fraction=0.30,
+        max_dup_line_char_fraction=0.20,
+        max_dup_paragraph_char_fraction=0.20,
+        max_top_ngram_fraction=((2, 0.5),),
+        max_dup_ngram_fraction=((5, 0.5),),
+    )
+    df = spark.createDataFrame(_LINE_TEXTS, "doc_id long, text string")
+    batch = {
+        r["doc_id"]: (r["keep"], r["reject_reason"])
+        for r in filter_documents(df, rules).collect()
+    }
+
+    from pprl_spark.spark.quality import streaming_quality_filter
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        streaming_quality_filter(stream, rules)
+        .select("doc_id", "keep", "reject_reason")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["keep"], r["reject_reason"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == batch
