@@ -263,6 +263,7 @@ def ngram_char_stats(
     top_ns: tuple = (2, 3, 4),
     dup_ns: tuple = (5, 6, 7, 8, 9, 10),
     with_top_bigram_occurrence: bool = False,
+    with_line_paragraph: bool = False,
 ) -> DataFrame:
     """The full Gopher repetition-signal family (Rae et al. 2021 §A1.1)
     per document, ONE corpus pass for all n:
@@ -289,7 +290,12 @@ def ngram_char_stats(
     ``with_top_bigram_occurrence=True`` additionally emits the legacy
     ``top_bigram_fraction`` (modal bigram count / total bigrams) from the
     SAME pass, so :func:`filter_documents` needs no separate bigram
-    explode when the family is enabled."""
+    explode when the family is enabled.  ``with_line_paragraph=True``
+    rides the line/paragraph units of :func:`line_dup_stats` through the
+    SAME explode as reserved lanes n=0 (line) / n=1 (paragraph) — grams
+    start at n=2, so the lanes cannot collide — emitting
+    ``dup_line_char_frac`` / ``dup_para_char_frac`` without a second
+    corpus scan."""
     all_ns = sorted({int(n) for n in (*top_ns, *dup_ns)})
     if with_top_bigram_occurrence and 2 not in all_ns:
         all_ns = sorted([2, *all_ns])
@@ -318,9 +324,24 @@ def ngram_char_stats(
             nw >= n, F.transform(F.sequence(F.lit(1), nw - n + 1), _window)
         ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
 
+    lanes = [_grams(n) for n in all_ns]
+    if with_line_paragraph:
+        col = F.col(text_col)
+        lines = F.filter(F.split(col, r"\n"), lambda x: F.trim(x) != "")
+        paras = F.filter(F.split(col, r"\n{2,}"), lambda x: F.trim(x) != "")
+        lanes.append(
+            F.transform(
+                lines, lambda x: F.struct(F.lit(0).alias("n"), x.alias("g"))
+            )
+        )
+        lanes.append(
+            F.transform(
+                paras, lambda x: F.struct(F.lit(1).alias("n"), x.alias("g"))
+            )
+        )
     exploded = df.select(
         F.col(id_col),
-        F.explode(F.flatten(F.array(*[_grams(n) for n in all_ns]))).alias("ng"),
+        F.explode(F.flatten(F.array(*lanes))).alias("ng"),
     ).select(id_col, F.col("ng.n").alias("__n"), F.col("ng.g").alias("__g"))
     per_gram = (
         exploded.groupBy(id_col, "__n", "__g")
@@ -354,6 +375,16 @@ def ngram_char_stats(
         aggs.append(
             F.sum(F.when(is2, F.col("__c")).otherwise(F.lit(0))).alias("__bg_tot")
         )
+    if with_line_paragraph:
+        cl = F.col("__c") * F.col("__len")
+        for lane, name in ((0, "__lnum"), (1, "__pnum")):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        (F.col("__n") == lane) & (F.col("__c") >= 2), cl
+                    ).otherwise(F.lit(0))
+                ).alias(name)
+            )
     per_doc = per_gram.groupBy(id_col).agg(*aggs)
     base = df.select(F.col(id_col), F.length(F.col(text_col)).alias("__tlen"))
     joined = base.join(per_doc, id_col, "left")
@@ -386,6 +417,17 @@ def ngram_char_stats(
             .otherwise((F.col("__bg_max") / F.col("__bg_tot")).cast("double"))
             .alias("top_bigram_fraction")
         )
+    if with_line_paragraph:
+        for name, alias in (
+            ("__lnum", "dup_line_char_frac"),
+            ("__pnum", "dup_para_char_frac"),
+        ):
+            num = F.col(name)
+            out_cols.append(
+                F.when(num.isNull() | (F.col("__tlen") <= 0), F.lit(0.0))
+                .otherwise((num / F.col("__tlen")).cast("double"))
+                .alias(alias)
+            )
     return joined.select(*out_cols)
 
 
@@ -490,9 +532,15 @@ def filter_documents(
         scalar_cols["dup_paragraph_fraction"] = dup_paragraph_fraction(
             F.col(text_col)
         )
+    needs_units = (
+        rules.max_dup_line_char_fraction < 1.0
+        or rules.max_dup_paragraph_char_fraction < 1.0
+    )
     if rules.max_top_ngram_fraction or rules.max_dup_ngram_fraction:
-        # one shared explode pass serves the whole n-gram family AND the
-        # legacy top-bigram occurrence signal — no separate bigram scan
+        # one shared explode pass serves the whole n-gram family, the
+        # legacy top-bigram occurrence signal AND (when configured) the
+        # line/paragraph char-mass signals — no separate bigram or
+        # line scan
         narrow = df.withColumns(
             {
                 "dup_word_fraction": dup_word_fraction(F.col(text_col)),
@@ -507,15 +555,13 @@ def filter_documents(
             top_ns=tuple(n for n, _ in rules.max_top_ngram_fraction),
             dup_ns=tuple(n for n, _ in rules.max_dup_ngram_fraction),
             with_top_bigram_occurrence=True,
+            with_line_paragraph=needs_units,
         )
         sig = narrow.join(ng, id_col, "left")
     else:
         sig = repetition_stats(df, id_col, text_col).withColumns(scalar_cols)
-    if (
-        rules.max_dup_line_char_fraction < 1.0
-        or rules.max_dup_paragraph_char_fraction < 1.0
-    ):
-        sig = sig.join(line_dup_stats(df, id_col, text_col), id_col, "left")
+        if needs_units:
+            sig = sig.join(line_dup_stats(df, id_col, text_col), id_col, "left")
     return _decide(sig, rules)
 
 

@@ -624,3 +624,20 @@ def test_streaming_quality_filter_line_para_parity(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     }
     assert got == batch
+
+
+def test_fused_line_lanes_match_standalone(spark):
+    """ngram_char_stats(with_line_paragraph=True) line/para fractions
+    must equal the standalone line_dup_stats pass exactly."""
+    from pprl_spark.spark.quality import line_dup_stats, ngram_char_stats
+
+    df = spark.createDataFrame(_LINE_TEXTS, "doc_id long, text string")
+    fused = {
+        r["doc_id"]: (r["dup_line_char_frac"], r["dup_para_char_frac"])
+        for r in ngram_char_stats(df, with_line_paragraph=True).collect()
+    }
+    alone = {
+        r["doc_id"]: (r["dup_line_char_frac"], r["dup_para_char_frac"])
+        for r in line_dup_stats(df).collect()
+    }
+    assert fused == pytest.approx(alone)
