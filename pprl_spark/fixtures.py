@@ -218,12 +218,16 @@ def make_wav_bytes(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def make_patterned_png_bytes(width: int, height: int, doc_id: int) -> bytes:
+def make_patterned_png_bytes(
+    width: int, height: int, doc_id: int, interlaced: bool = False
+) -> bytes:
     """Complete 8-bit grayscale PNG whose pixel (r, c) equals
     ``(doc_id + 7·r + 3·c) % 251`` — SQL-reproducible raster ground truth.
-    Odd rows are encoded with the Sub filter (type 1), even rows with
-    None (type 0), so decoding must actually undo filters to recover the
-    pattern."""
+    Odd scanlines are encoded with the Sub filter (type 1), even ones
+    with None (type 0), so decoding must actually undo filters to
+    recover the pattern.  ``interlaced=True`` emits the seven Adam7
+    sub-images (each filtered independently, per spec) with IHDR
+    interlace method 1."""
     import struct
     import zlib
 
@@ -233,19 +237,43 @@ def make_patterned_png_bytes(width: int, height: int, doc_id: int) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
+    def encode_rows(rows_px: list) -> bytearray:
+        buf = bytearray()
+        for k, row in enumerate(rows_px):
+            if k % 2 == 1:
+                buf.append(1)  # Sub
+                prev = 0
+                for v in row:
+                    buf.append((v - prev) & 0xFF)
+                    prev = v
+            else:
+                buf.append(0)  # None
+                buf.extend(row)
+        return buf
+
+    def px(r, c):
+        return (doc_id + 7 * r + 3 * c) % 251
+
     raw = bytearray()
-    for r in range(height):
-        row = [(doc_id + 7 * r + 3 * c) % 251 for c in range(width)]
-        if r % 2 == 1:
-            raw.append(1)  # Sub
-            prev = 0
-            for v in row:
-                raw.append((v - prev) & 0xFF)
-                prev = v
-        else:
-            raw.append(0)  # None
-            raw.extend(row)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    if interlaced:
+        passes = (
+            (0, 8, 0, 8), (0, 8, 4, 8), (4, 8, 0, 4), (0, 4, 2, 4),
+            (2, 4, 0, 2), (0, 2, 1, 2), (1, 2, 0, 1),
+        )
+        for rs, rstep, cs, cstep in passes:
+            rows_px = [
+                [px(r, c) for c in range(cs, width, cstep)]
+                for r in range(rs, height, rstep)
+            ]
+            rows_px = [row for row in rows_px if row]
+            raw += encode_rows(rows_px)
+    else:
+        raw = encode_rows(
+            [[px(r, c) for c in range(width)] for r in range(height)]
+        )
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 0, 0, 0, 1 if interlaced else 0
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -319,19 +347,33 @@ def _gif_lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
     return bytes(blocks)
 
 
-def make_patterned_gif_bytes(width: int, height: int, doc_id: int) -> bytes:
+def make_patterned_gif_bytes(
+    width: int, height: int, doc_id: int, interlaced: bool = False
+) -> bytes:
     """Complete GIF89a whose pixel (r, c) equals
     ``(doc_id + 7·r + 3·c) % 251`` — the SAME raster ground truth as the
     patterned PNG, behind a 256-entry grayscale palette (index i → gray
-    i) and a real LZW-compressed image block."""
+    i) and a real LZW-compressed image block.  ``interlaced=True`` emits
+    the rows in GIF89a appendix-E four-pass order with the descriptor
+    flag set, so the decoder's de-interlace path has exact ground
+    truth."""
     import struct
 
     screen = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # 256-color GCT
     palette = bytes(v for i in range(256) for v in (i, i, i))
+    rows = range(height)
+    if interlaced:
+        rows = [
+            r
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for r in range(start, height, step)
+        ]
     indices = bytes(
-        (doc_id + 7 * r + 3 * c) % 251 for r in range(height) for c in range(width)
+        (doc_id + 7 * r + 3 * c) % 251 for r in rows for c in range(width)
     )
-    image = b"," + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    image = b"," + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlaced else 0
+    )
     data = bytes([8]) + _gif_lzw_encode(indices, 8)
     return b"GIF89a" + screen + palette + image + data + b";"
 

@@ -9,11 +9,13 @@ features out).
 / JPEG SOF / GIF screen descriptor / BMP DIB — returning true
 width/height/channels (VERDICT r2 #1).  Full RASTER decode (pure
 stdlib+numpy, no PIL/libvips) exists for three formats via
-``decode_raster_pixels``: PNG (zlib + all-5-filters undo), GIF
-(string-table LZW), and baseline JPEG (DHT Huffman + dequantize + IDCT,
-new r4); ``image_pixel_features`` builds pixel-level features on top.
-``NotImplementedError`` remains for progressive JPEG and compressed
-audio/video codecs (4:2:0/4:2:2 chroma subsampling IS decoded — r4).  ``decoder="stub"`` derives
+``decode_raster_pixels``: PNG (zlib + all-5-filters undo, straight or
+Adam7-interlaced — r5), GIF (string-table LZW, interlaced or not — r5),
+and baseline JPEG (DHT Huffman + dequantize + IDCT, new r4;
+4:2:0/4:2:2 chroma subsampling included); ``image_pixel_features``
+builds pixel-level features on top.  ``NotImplementedError`` remains
+for progressive JPEG and compressed audio/video codecs.
+``decoder="stub"`` derives
 deterministic fake features from the payload digest (full plumbing —
 schema, batching, partitioning — without any format assumption).
 
@@ -345,38 +347,23 @@ def decode_image_features(
     return df.select(id_col, payload_col).mapInPandas(_decode, schema=_IMAGE_FEATURE_SCHEMA)
 
 
-def decode_png_pixels(payload: bytes) -> np.ndarray:
-    """REAL raster decode for 8-bit non-interlaced PNG: concatenate IDAT
-    chunks, zlib-inflate, undo the per-row filter (all five spec filter
-    types — None/Sub/Up/Average/Paeth) → (height, width, channels) uint8.
-    Pure stdlib+numpy; Sub/Up are vectorized (mod-256 cumulative sums),
-    Average/Paeth fall back to a per-byte loop (rare in practice)."""
-    width, height, channels = parse_png_header(payload)
-    if payload[24] != 8:
-        raise ValueError(f"unsupported PNG bit depth {payload[24]}")
-    if payload[28] != 0:
-        raise ValueError("interlaced PNG not supported")
-    import zlib
+# Adam7 interlace pass geometry: (row_start, row_step, col_start, col_step)
+# — note passes 3/5/7 sample columns at HALF their row period (PNG spec
+# §8.2: each pass doubles resolution alternately in x then y)
+_ADAM7 = (
+    (0, 8, 0, 8), (0, 8, 4, 8), (4, 8, 0, 4), (0, 4, 2, 4),
+    (2, 4, 0, 2), (0, 2, 1, 2), (1, 2, 0, 1),
+)
 
-    idat = bytearray()
-    i = 8
-    n = len(payload)
-    while i + 8 <= n:
-        ln = int.from_bytes(payload[i : i + 4], "big")
-        typ = payload[i + 4 : i + 8]
-        if typ == b"IDAT":
-            idat += payload[i + 8 : i + 8 + ln]
-        if typ == b"IEND":
-            break
-        i += 12 + ln
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = width * channels
-    if raw.shape[0] != height * (stride + 1):
-        raise ValueError("corrupt PNG: raster size mismatch")
-    rows = raw.reshape(height, stride + 1)
+
+def _png_defilter(rows: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """Undo the per-row PNG filter for one (sub-)image: ``rows`` is
+    (height, stride+1) with the filter byte in column 0.  All five spec
+    filter types — None/Sub/Up/Average/Paeth; Sub/Up vectorized (mod-256
+    cumulative sums), Average/Paeth per-byte (rare in practice)."""
+    height = rows.shape[0]
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels
     for r in range(height):
         f = int(rows[r, 0])
         line = rows[r, 1:]
@@ -404,7 +391,63 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
             raise ValueError(f"corrupt PNG: unknown filter type {f}")
         out[r] = recon
         prev = recon
-    return out.reshape(height, width, channels)
+    return out
+
+
+def decode_png_pixels(payload: bytes) -> np.ndarray:
+    """REAL raster decode for 8-bit PNG, straight or Adam7-interlaced:
+    concatenate IDAT chunks, zlib-inflate, undo the per-row filter (all
+    five spec filter types — None/Sub/Up/Average/Paeth; filtering is
+    per-pass for Adam7, each sub-image with its own previous-row state)
+    → (height, width, channels) uint8.  Pure stdlib+numpy."""
+    width, height, channels = parse_png_header(payload)
+    if payload[24] != 8:
+        raise ValueError(f"unsupported PNG bit depth {payload[24]}")
+    interlace = payload[28]
+    if interlace not in (0, 1):
+        raise ValueError(f"corrupt PNG: unknown interlace method {interlace}")
+    import zlib
+
+    idat = bytearray()
+    i = 8
+    n = len(payload)
+    while i + 8 <= n:
+        ln = int.from_bytes(payload[i : i + 4], "big")
+        typ = payload[i + 4 : i + 8]
+        if typ == b"IDAT":
+            idat += payload[i + 8 : i + 8 + ln]
+        if typ == b"IEND":
+            break
+        i += 12 + ln
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    bpp = channels
+    if interlace == 0:
+        stride = width * channels
+        if raw.shape[0] != height * (stride + 1):
+            raise ValueError("corrupt PNG: raster size mismatch")
+        out = _png_defilter(raw.reshape(height, stride + 1), stride, bpp)
+        return out.reshape(height, width, channels)
+    # Adam7: seven independently-filtered sub-images, concatenated in the
+    # zlib stream; empty passes contribute zero bytes
+    out = np.zeros((height, width, channels), dtype=np.uint8)
+    pos = 0
+    for rs, rstep, cs, cstep in _ADAM7:
+        h_p = (height - rs + rstep - 1) // rstep
+        w_p = (width - cs + cstep - 1) // cstep
+        if h_p <= 0 or w_p <= 0:
+            continue
+        stride = w_p * channels
+        need = h_p * (stride + 1)
+        if pos + need > raw.shape[0]:
+            raise ValueError("corrupt PNG: interlaced raster size mismatch")
+        sub = _png_defilter(
+            raw[pos : pos + need].reshape(h_p, stride + 1), stride, bpp
+        )
+        out[rs::rstep, cs::cstep] = sub.reshape(h_p, w_p, channels)
+        pos += need
+    if pos != raw.shape[0]:
+        raise ValueError("corrupt PNG: interlaced raster size mismatch")
+    return out
 
 
 def _gif_lzw_decode(blocks: bytes, min_code_size: int) -> bytes:
@@ -469,12 +512,13 @@ def _gif_lzw_decode(blocks: bytes, min_code_size: int) -> bytes:
 
 
 def decode_gif_pixels(payload: bytes) -> np.ndarray:
-    """REAL raster decode for non-interlaced GIF87a/89a frames with a
-    global palette: walk the block stream (skipping extensions), LZW-
-    decode the first image's index stream, map through the palette →
-    (height, width, channels) uint8.  A grayscale palette (r==g==b for
-    every used entry) collapses to one channel so the pixel features line
-    up with grayscale PNG output."""
+    """REAL raster decode for GIF87a/89a frames with a global palette
+    (interlaced or not): walk the block stream (skipping extensions),
+    LZW-decode the first image's index stream, de-interlace if the
+    descriptor says so, map through the palette → (height, width,
+    channels) uint8.  A grayscale palette (r==g==b for every used entry)
+    collapses to one channel so the pixel features line up with
+    grayscale PNG output."""
     width, height, _ = parse_gif_header(payload)
     flags = payload[10]
     if not flags & 0x80:
@@ -498,8 +542,7 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
             ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, i + 1)
             if iflags & 0x80:
                 raise ValueError("GIF local color tables not supported")
-            if iflags & 0x40:
-                raise ValueError("interlaced GIF not supported")
+            interlaced = bool(iflags & 0x40)
             i += 10
             min_code = payload[i]
             i += 1
@@ -513,7 +556,19 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
             )
             if indices.shape[0] != iw * ih:
                 raise ValueError("corrupt GIF: raster size mismatch")
-            rgb = palette[indices].reshape(ih, iw, 3)
+            idx2d = indices.reshape(ih, iw)
+            if interlaced:
+                # GIF89a appendix E four-pass interlace: decoded row k is
+                # display row order[k] — scatter back to display order
+                order = [
+                    r
+                    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                    for r in range(start, ih, step)
+                ]
+                out2d = np.empty_like(idx2d)
+                out2d[order] = idx2d
+                idx2d = out2d
+            rgb = palette[idx2d.reshape(-1)].reshape(ih, iw, 3)
             used = palette[: int(indices.max()) + 1]
             if bool((used[:, 0] == used[:, 1]).all() and (used[:, 1] == used[:, 2]).all()):
                 return rgb[:, :, :1]

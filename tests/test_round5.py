@@ -295,15 +295,25 @@ def test_gif_decode_rejects_unsupported():
     from pprl_spark.fixtures import make_patterned_gif_bytes
     from pprl_spark.spark.multimodal import decode_gif_pixels
 
+    # interlace is SUPPORTED since r5: flipping the flag on a
+    # straight-encoded raster decodes without error, as the row
+    # permutation of the straight decode (tests/test_round6.py pins the
+    # exact-pattern and real-file cases)
+    import numpy as np
+
     gif = bytearray(make_patterned_gif_bytes(16, 16, 3))
-    # image descriptor sits right after header(13) + 256-entry palette;
-    # flip the interlace bit in its flags byte (searching for b"," would
-    # false-hit palette byte 0x2C = gray 44)
+    # image descriptor sits right after header(13) + 256-entry palette
+    # (searching for b"," would false-hit palette byte 0x2C = gray 44)
     idx = 13 + 256 * 3
     assert gif[idx] == 0x2C
     gif[idx + 9] |= 0x40
-    with _pytest.raises(ValueError, match="interlaced"):
-        decode_gif_pixels(bytes(gif))
+    straight = decode_gif_pixels(make_patterned_gif_bytes(16, 16, 3))
+    order = [
+        r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for r in range(start, 16, step)
+    ]
+    permuted = decode_gif_pixels(bytes(gif))
+    assert np.array_equal(permuted[order], straight)
     # GIF without a global palette
     screen = struct.pack("<HHBBB", 2, 2, 0x00, 0, 0)
     with _pytest.raises(ValueError, match="global color table"):
