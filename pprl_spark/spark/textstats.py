@@ -111,22 +111,41 @@ def lang_id_col(col: Column | str) -> Column:
     of its stopwords among the lowercased whitespace words; predict the
     first (alphabetically) language with the maximal score, 'und' on zero
     evidence or empty/null text.  Semantics match the former vectorized-UDF
-    implementation (counts × membership profile, argmax-first)."""
+    implementation (counts × membership profile, argmax-first).
+
+    Shaped as ONE ``aggregate`` over the word array with the argmax in
+    the finish lambda.  The naive per-language form referenced the
+    split-words subtree once per language and the score array three more
+    times (scores/max/position); higher-order functions are
+    CodegenFallback, so every reference re-evaluated interpreted —
+    ~15 re-splits of the text per call (r5, measured).  Inside a lambda,
+    ``acc``/``w`` are variables, so each subtree here evaluates once."""
     col = _as_col(col)
     langs = sorted(_STOPWORDS)
-    words = F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
-    def _hits(stopwords):
-        sw = F.array(*[F.lit(s) for s in stopwords])
-        return F.size(F.filter(words, lambda w: F.array_contains(sw, w))).cast("long")
-
-    scores = F.array(*[_hits(_STOPWORDS[lang]) for lang in langs])
-    best = F.array_max(scores)
-    pick = F.element_at(
-        F.array(*[F.lit(lang) for lang in langs]), F.array_position(scores, best).cast("int")
+    n = len(langs)
+    # constant-folded 2-D stopword literal: element_at(sw2d, i) = lang i's list
+    sw2d = F.array(
+        *[F.array(*[F.lit(s) for s in _STOPWORDS[lang]]) for lang in langs]
     )
-    return F.when(
-        col.isNull() | (col == "") | (best <= 0), F.lit("und")
-    ).otherwise(pick)
+    lang_lits = F.array(*[F.lit(lang) for lang in langs])
+    words = F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+    zeros = F.array_repeat(F.lit(0).cast("long"), n)
+
+    def _step(acc: Column, w: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(n)),
+            lambda i: F.element_at(acc, i)
+            + F.array_contains(F.element_at(sw2d, i), w).cast("long"),
+        )
+
+    def _finish(acc: Column) -> Column:
+        best = F.array_max(acc)
+        return F.when(best <= 0, F.lit("und")).otherwise(
+            F.element_at(lang_lits, F.array_position(acc, best).cast("int"))
+        )
+
+    picked = F.aggregate(words, zeros, _step, _finish)
+    return F.when(col.isNull() | (col == ""), F.lit("und")).otherwise(picked)
 
 
 def _word_explode(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
