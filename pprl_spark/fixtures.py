@@ -348,7 +348,11 @@ def _gif_lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
 
 
 def make_patterned_gif_bytes(
-    width: int, height: int, doc_id: int, interlaced: bool = False
+    width: int,
+    height: int,
+    doc_id: int,
+    interlaced: bool = False,
+    local_palette: bool = False,
 ) -> bytes:
     """Complete GIF89a whose pixel (r, c) equals
     ``(doc_id + 7·r + 3·c) % 251`` — the SAME raster ground truth as the
@@ -356,11 +360,13 @@ def make_patterned_gif_bytes(
     i) and a real LZW-compressed image block.  ``interlaced=True`` emits
     the rows in GIF89a appendix-E four-pass order with the descriptor
     flag set, so the decoder's de-interlace path has exact ground
-    truth."""
+    truth.  ``local_palette=True`` omits the global color table and
+    carries the palette as a LOCAL color table on the image descriptor
+    (GIF89a §20) — plus a decoy: when both tables would be plausible the
+    fixture has NO global table at all, so a decoder that only reads the
+    GCT fails loudly rather than silently."""
     import struct
 
-    screen = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # 256-color GCT
-    palette = bytes(v for i in range(256) for v in (i, i, i))
     rows = range(height)
     if interlaced:
         rows = [
@@ -371,11 +377,19 @@ def make_patterned_gif_bytes(
     indices = bytes(
         (doc_id + 7 * r + 3 * c) % 251 for r in rows for c in range(width)
     )
-    image = b"," + struct.pack(
-        "<HHHHB", 0, 0, width, height, 0x40 if interlaced else 0
-    )
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    iflags = (0x40 if interlaced else 0) | (0x87 if local_palette else 0)
+    image = b"," + struct.pack("<HHHHB", 0, 0, width, height, iflags)
+    if local_palette:
+        screen = struct.pack("<HHBBB", width, height, 0x00, 0, 0)  # no GCT
+        image += palette
+    else:
+        screen = (
+            struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # 256-color GCT
+            + palette
+        )
     data = bytes([8]) + _gif_lzw_encode(indices, 8)
-    return b"GIF89a" + screen + palette + image + data + b";"
+    return b"GIF89a" + screen + image + data + b";"
 
 
 # ---------------------------------------------------------------- JPEG fixture

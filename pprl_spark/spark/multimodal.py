@@ -512,22 +512,25 @@ def _gif_lzw_decode(blocks: bytes, min_code_size: int) -> bytes:
 
 
 def decode_gif_pixels(payload: bytes) -> np.ndarray:
-    """REAL raster decode for GIF87a/89a frames with a global palette
-    (interlaced or not): walk the block stream (skipping extensions),
-    LZW-decode the first image's index stream, de-interlace if the
-    descriptor says so, map through the palette → (height, width,
-    channels) uint8.  A grayscale palette (r==g==b for every used entry)
-    collapses to one channel so the pixel features line up with
-    grayscale PNG output."""
+    """REAL raster decode for GIF87a/89a frames (interlaced or not):
+    walk the block stream (skipping extensions), LZW-decode the first
+    image's index stream, de-interlace if the descriptor says so, map
+    through the palette → (height, width, channels) uint8.  The palette
+    is the image's LOCAL color table when the descriptor carries one
+    (GIF89a §20 — it overrides the global table for that image), else
+    the global color table; a file with neither raises.  A grayscale
+    palette (r==g==b for every used entry) collapses to one channel so
+    the pixel features line up with grayscale PNG output."""
     width, height, _ = parse_gif_header(payload)
     flags = payload[10]
-    if not flags & 0x80:
-        raise ValueError("GIF without a global color table not supported")
-    gct_n = 2 << (flags & 0x07)
-    palette = np.frombuffer(
-        payload[13 : 13 + gct_n * 3], dtype=np.uint8
-    ).reshape(gct_n, 3)
-    i = 13 + gct_n * 3
+    palette = None
+    i = 13
+    if flags & 0x80:
+        gct_n = 2 << (flags & 0x07)
+        palette = np.frombuffer(
+            payload[13 : 13 + gct_n * 3], dtype=np.uint8
+        ).reshape(gct_n, 3)
+        i += gct_n * 3
     end = len(payload)
     while i < end:
         b = payload[i]
@@ -540,10 +543,19 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
             import struct
 
             ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, i + 1)
-            if iflags & 0x80:
-                raise ValueError("GIF local color tables not supported")
             interlaced = bool(iflags & 0x40)
             i += 10
+            if iflags & 0x80:
+                # local color table overrides the global one (GIF89a §20)
+                lct_n = 2 << (iflags & 0x07)
+                palette = np.frombuffer(
+                    payload[i : i + lct_n * 3], dtype=np.uint8
+                ).reshape(lct_n, 3)
+                i += lct_n * 3
+            if palette is None:
+                raise ValueError(
+                    "GIF with neither global nor local color table"
+                )
             min_code = payload[i]
             i += 1
             sub = bytearray()

@@ -314,10 +314,14 @@ def test_gif_decode_rejects_unsupported():
     ]
     permuted = decode_gif_pixels(bytes(gif))
     assert np.array_equal(permuted[order], straight)
-    # GIF without a global palette
+    # GIF whose image has NEITHER a global nor a local palette
+    from pprl_spark.fixtures import _gif_lzw_encode
+
     screen = struct.pack("<HHBBB", 2, 2, 0x00, 0, 0)
-    with _pytest.raises(ValueError, match="global color table"):
-        decode_gif_pixels(b"GIF89a" + screen + b";")
+    image = b"," + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+    data = bytes([8]) + _gif_lzw_encode(bytes(4), 8)
+    with _pytest.raises(ValueError, match="neither global nor local"):
+        decode_gif_pixels(b"GIF89a" + screen + image + data + b";")
 
 
 def test_image_pixel_features_mixed_formats(spark):

@@ -725,3 +725,49 @@ def test_adam7_interlaced_png_decodes_to_exact_pattern():
         assert np.array_equal(px, expect), (doc_id, w, h)
         straight = decode_png_pixels(make_patterned_png_bytes(w, h, doc_id))
         assert np.array_equal(px, straight)
+
+
+def test_gif_local_color_table_decodes_and_overrides_global():
+    """GIF89a §20: an image descriptor may carry a LOCAL color table
+    that overrides the global one for that image; a file may also have
+    no global table at all.  Both branches must decode to the exact
+    arithmetic pattern — and when a (wrong, inverted) global table IS
+    present alongside the correct local one, the local must win."""
+    import struct
+
+    import numpy as np
+
+    from pprl_spark.fixtures import make_patterned_gif_bytes
+    from pprl_spark.spark.multimodal import decode_gif_pixels
+
+    for doc_id, (w, h) in ((4, (16, 12)), (17, (7, 5))):
+        expect = np.array(
+            [[(doc_id + 7 * r + 3 * c) % 251 for c in range(w)] for r in range(h)],
+            dtype=np.uint8,
+        )[:, :, None]
+        # no GCT, palette delivered as the local color table
+        lct = make_patterned_gif_bytes(w, h, doc_id, local_palette=True)
+        assert np.array_equal(decode_gif_pixels(lct), expect), (doc_id, w, h)
+        # now splice an INVERTED global table in front: header flags
+        # declare a 256-entry GCT of gray (255-i); the correct local
+        # table must still win
+        screen = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        bad_gct = bytes(v for i in range(256) for v in ((255 - i,) * 3))
+        both = b"GIF89a" + screen + bad_gct + lct[13:]
+        assert np.array_equal(decode_gif_pixels(both), expect), (doc_id, w, h)
+
+
+def test_gif_local_color_table_interlaced():
+    """Local color table composes with interlacing (both descriptor
+    flags set)."""
+    import numpy as np
+
+    from pprl_spark.fixtures import make_patterned_gif_bytes
+    from pprl_spark.spark.multimodal import decode_gif_pixels
+
+    w, h, doc_id = 13, 11, 8
+    px = decode_gif_pixels(
+        make_patterned_gif_bytes(w, h, doc_id, interlaced=True, local_palette=True)
+    )
+    straight = decode_gif_pixels(make_patterned_gif_bytes(w, h, doc_id))
+    assert np.array_equal(px, straight)
