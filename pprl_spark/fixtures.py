@@ -412,7 +412,10 @@ _JPEG_DC_SYMBOLS = list(range(12))  # categories 0..11, all 4-bit codes
 _JPEG_AC_SYMBOLS = (
     [0x00, 0xF0]
     + [(r << 4) | s for r in range(16) for s in range(1, 11)]
-)  # EOB, ZRL, and every (run, size) — all 8-bit codes
+    + [r << 4 for r in range(1, 15)]
+)  # EOB0, ZRL, every (run, size), and EOBn run symbols — all 8-bit codes
+#   (EOBn r<<4, r=1..14 code EOB runs of 2^r..2^(r+1)-1 across blocks in
+#    progressive AC scans — T.81 §G.1.2.2; 176 codes fit 8 bits)
 
 
 def _jpeg_canonical(symbols: list, length: int) -> dict:
@@ -537,6 +540,260 @@ def make_jpeg_from_quantized(
     return b"\xff\xd8" + dqt + sof + dht + sos + w.flush() + b"\xff\xd9"
 
 
+class _JpegEobState:
+    """Cross-block EOB-run accumulator for progressive AC scans: the run
+    count plus the correction bits buffered with it (refinement scans
+    append each finished block's pending bits here — T.81 §G.1.2.3,
+    mirrors libjpeg's EOBRUN/BE bookkeeping)."""
+
+    def __init__(self, writer: _JpegBitWriter, ac_tbl: dict):
+        self.writer = writer
+        self.ac_tbl = ac_tbl
+        self.run = 0
+        self.bits: list = []
+
+    def flush(self):
+        if self.run > 0:
+            nb = self.run.bit_length() - 1
+            code, ln = self.ac_tbl[nb << 4]
+            self.writer.put(code, ln)
+            if nb:
+                self.writer.put(self.run & ((1 << nb) - 1), nb)
+            self.run = 0
+        for b in self.bits:
+            self.writer.put(b, 1)
+        self.bits = []
+
+
+def _jpeg_encode_ac_first(writer, ac_tbl, eob, band_vals):
+    """One block of a progressive AC FIRST scan (T.81 §G.1.2.2):
+    ``band_vals`` are the point-transformed (sign-magnitude >> Al) band
+    coefficients in scan order.  Zero bands join the cross-block EOB
+    run; nonzero coefficients flush it and emit run/size + value."""
+    if not any(band_vals):
+        eob.run += 1
+        if eob.run == 0x7FFF:
+            eob.flush()
+        return
+    r = 0
+    for v in band_vals:
+        if v == 0:
+            r += 1
+            continue
+        eob.flush()
+        while r > 15:
+            code, ln = ac_tbl[0xF0]
+            writer.put(code, ln)
+            r -= 16
+        s = _jpeg_category(v)
+        code, ln = ac_tbl[(r << 4) | s]
+        writer.put(code, ln)
+        writer.put(v if v > 0 else v + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        eob.run += 1
+        if eob.run == 0x7FFF:
+            eob.flush()
+
+
+def _jpeg_encode_ac_refine(writer, ac_tbl, eob, band_vals, al):
+    """One block of a progressive AC REFINEMENT scan (T.81 §G.1.2.3):
+    already-nonzero coefficients contribute one buffered correction bit;
+    newly-nonzero ones (magnitude exactly 1 at this precision) emit
+    run/1 + sign, releasing the buffered bits; a block with nothing left
+    to emit joins the EOB run carrying its buffered bits along."""
+    absv = [abs(v) >> al for v in band_vals]
+    last_new = max((k for k, t in enumerate(absv) if t == 1), default=-1)
+    r = 0
+    br: list = []
+    for k, v in enumerate(band_vals):
+        temp = absv[k]
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15 and k <= last_new:
+            eob.flush()
+            code, ln = ac_tbl[0xF0]
+            writer.put(code, ln)
+            r -= 16
+            for b in br:
+                writer.put(b, 1)
+            br = []
+        if temp > 1:
+            br.append(temp & 1)
+            continue
+        eob.flush()
+        code, ln = ac_tbl[(r << 4) | 1]
+        writer.put(code, ln)
+        writer.put(1 if v > 0 else 0, 1)
+        for b in br:
+            writer.put(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        eob.run += 1
+        eob.bits.extend(br)
+        if eob.run == 0x7FFF:
+            eob.flush()
+
+
+def make_progressive_jpeg_from_quantized(
+    width: int, height: int, blocks, sampling: "tuple | None" = None,
+    scans: "list | None" = None, restart_interval: int = 0,
+) -> bytes:
+    """Assemble a complete PROGRESSIVE (SOF2) JPEG from the SAME
+    MCU-interleaved quantized-coefficient ``blocks`` that
+    :func:`make_jpeg_from_quantized` takes — the two containers carry
+    identical coefficients, so a conformant decoder must produce
+    bit-identical pixels for both.  The default scan script exercises
+    every progressive mechanism: interleaved DC first at Al=1 + DC
+    refinement, per-component spectral-selection AC bands (1-5, 6-63)
+    first-coded at Al=2 then refined twice (Al 2→1→0) — successive
+    approximation, EOB runs, ZRL-in-refinement, correction bits.
+    ``scans`` overrides it with (comp_indices, Ss, Se, Ah, Al) tuples.
+    DC uses arithmetic >>, AC sign-magnitude >>, matching T.81's point
+    transforms."""
+    import struct
+
+    if sampling is None:
+        sampling = ((1, 1),)
+    ncomp = len(sampling)
+    h_max = max(s[0] for s in sampling)
+    v_max = max(s[1] for s in sampling)
+    mcus_x = (width + 8 * h_max - 1) // (8 * h_max)
+    mcus_y = (height + 8 * v_max - 1) // (8 * v_max)
+    # de-interleave the flat MCU-ordered block list into per-component
+    # MCU-aligned grids (same layout the decoder accumulates into)
+    grids = [
+        [[None] * (mcus_x * hi) for _ in range(mcus_y * vi)]
+        for hi, vi in sampling
+    ]
+    bi = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hi, vi) in enumerate(sampling):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        grids[ci][my * vi + byi][mx * hi + bxi] = blocks[bi]
+                        bi += 1
+    if bi != len(blocks):
+        raise ValueError("block count does not match MCU geometry")
+    for ci, (hi, vi) in enumerate(sampling):
+        for row in grids[ci]:
+            for j, blk in enumerate(row):
+                if blk is None:
+                    row[j] = [0] * 64
+    if scans is None:
+        allc = tuple(range(ncomp))
+        scans = [(allc, 0, 0, 0, 1)]
+        for c in range(ncomp):
+            scans += [((c,), 1, 5, 0, 2), ((c,), 6, 63, 0, 2)]
+        scans.append((allc, 0, 0, 1, 0))
+        for ah, al in ((2, 1), (1, 0)):
+            for c in range(ncomp):
+                scans += [((c,), 1, 5, ah, al), ((c,), 6, 63, ah, al)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes([1] * 64))
+    comp_spec = b"".join(
+        bytes([c + 1, (hi << 4) | vi, 0])
+        for c, (hi, vi) in enumerate(sampling)
+    )
+    sof = seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, height, width, ncomp) + comp_spec,
+    )
+    dc_counts = [0] * 16
+    dc_counts[3] = len(_JPEG_DC_SYMBOLS)
+    ac_counts = [0] * 16
+    ac_counts[7] = len(_JPEG_AC_SYMBOLS)
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(dc_counts) + bytes(_JPEG_DC_SYMBOLS)
+        + bytes([0x10]) + bytes(ac_counts) + bytes(_JPEG_AC_SYMBOLS),
+    )
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    dc_tbl = _jpeg_canonical(_JPEG_DC_SYMBOLS, 4)
+    ac_tbl = _jpeg_canonical(_JPEG_AC_SYMBOLS, 8)
+    out = bytearray(b"\xff\xd8" + dqt + sof + dht + dri)
+    for comp_idx, ss, se, ah, al in scans:
+        scan_spec = b"".join(bytes([c + 1, 0x00]) for c in comp_idx)
+        out += seg(
+            0xFFDA,
+            bytes([len(comp_idx)]) + scan_spec + bytes([ss, se, (ah << 4) | al]),
+        )
+        writer = _JpegBitWriter()
+        eob = _JpegEobState(writer, ac_tbl)
+        preds = {c: 0 for c in comp_idx}
+        rst = 0  # restart marker modulo counter
+
+        def emit_restart():
+            nonlocal rst
+            eob.flush()
+            while writer.n:  # byte-align with 1-bit padding
+                writer.put(1, 1)
+            writer.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            for c in preds:
+                preds[c] = 0
+
+        def emit_block(ci, blk):
+            if ss == 0:
+                v = blk[0] >> al  # arithmetic shift (two's complement)
+                if ah == 0:
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = _jpeg_category(diff)
+                    code, ln = dc_tbl[t]
+                    writer.put(code, ln)
+                    if t:
+                        writer.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+                else:
+                    writer.put(v & 1, 1)
+            if se >= 1:
+                lo = max(ss, 1)
+                zz = [blk[_ZIGZAG[k]] for k in range(lo, se + 1)]
+                if ah == 0:
+                    t = [
+                        (abs(v) >> al) * (1 if v >= 0 else -1) for v in zz
+                    ]
+                    _jpeg_encode_ac_first(writer, ac_tbl, eob, t)
+                else:
+                    _jpeg_encode_ac_refine(writer, ac_tbl, eob, zz, al)
+
+        if len(comp_idx) == 1:
+            ci = comp_idx[0]
+            hi, vi = sampling[ci]
+            bx_n = (-(-width * hi // h_max) + 7) // 8
+            by_n = (-(-height * vi // v_max) + 7) // 8
+            unit = 0
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        emit_restart()
+                    unit += 1
+                    emit_block(ci, grids[ci][by][bx])
+        else:
+            mcu = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        emit_restart()
+                    mcu += 1
+                    for ci in comp_idx:
+                        hi, vi = sampling[ci]
+                        for byi in range(vi):
+                            for bxi in range(hi):
+                                emit_block(
+                                    ci, grids[ci][my * vi + byi][mx * hi + bxi]
+                                )
+        eob.flush()
+        out += writer.flush()
+    return bytes(out) + b"\xff\xd9"
+
+
 def make_patterned_jpeg_bytes(width: int, height: int, doc_id: int) -> bytes:
     """Complete grayscale baseline JPEG whose pixels are EXACTLY
     ``(doc_id + 7·(r//8) + 3·(c//8)) % 251`` — 8×8-constant blocks carry
@@ -554,6 +811,25 @@ def make_patterned_jpeg_bytes(width: int, height: int, doc_id: int) -> bytes:
             blk[0] = 8 * (v - 128)
             blocks.append(blk)
     return make_jpeg_from_quantized(width, height, blocks)
+
+
+def make_patterned_progressive_jpeg_bytes(
+    width: int, height: int, doc_id: int
+) -> bytes:
+    """The :func:`make_patterned_jpeg_bytes` raster (8×8-constant blocks,
+    DC-only coefficients) in a PROGRESSIVE (SOF2) container — same
+    quantized coefficients, multi-scan encoding, so pixel output must be
+    bit-identical to the baseline file AND to the arithmetic pattern."""
+    if width % 8 or height % 8:
+        raise ValueError("patterned JPEG dims must be multiples of 8")
+    blocks = []
+    for bR in range(height // 8):
+        for bC in range(width // 8):
+            v = (doc_id + 7 * bR + 3 * bC) % 251
+            blk = [0] * 64
+            blk[0] = 8 * (v - 128)
+            blocks.append(blk)
+    return make_progressive_jpeg_from_quantized(width, height, blocks)
 
 
 def pixel_payload_row(doc_id: int, formats: tuple = ("png",)) -> dict:

@@ -492,10 +492,22 @@ def test_jpeg_rejects_unsupported():
     from pprl_spark.fixtures import make_jpeg_bytes
     from pprl_spark.spark.multimodal import decode_jpeg_pixels
 
-    with _pytest.raises(ValueError, match="SOF2"):
+    # SOF2 is SUPPORTED since r5 — a header-only progressive stream now
+    # fails only for its missing scan, not its frame type
+    with _pytest.raises(ValueError, match="no scan data"):
         decode_jpeg_pixels(make_jpeg_bytes(16, 16, progressive=True))
-    # sampling factors beyond 2 are genuinely unsupported
+    # lossless (SOF3) remains genuinely unsupported
     import struct
+
+    sof3 = (
+        b"\xff\xd8"
+        + b"\xff\xc3" + struct.pack(">HBHHB", 11, 8, 16, 16, 1)
+        + bytes([1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    with _pytest.raises(ValueError, match="SOF3"):
+        decode_jpeg_pixels(sof3)
+    # sampling factors beyond 2 are genuinely unsupported
 
     bad_sof = (
         b"\xff\xd8"

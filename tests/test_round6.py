@@ -771,3 +771,180 @@ def test_gif_local_color_table_interlaced():
     )
     straight = decode_gif_pixels(make_patterned_gif_bytes(w, h, doc_id))
     assert np.array_equal(px, straight)
+
+
+def _lcg_jpeg_blocks(seed: int, nblocks: int, density: float, mag: int = 180):
+    """Deterministic pseudo-random quantized-coefficient blocks: DC in
+    [-mag, mag), each AC nonzero with probability ``density``."""
+    s = (seed & 0x7FFFFFFF) or 1
+    out = []
+    for _ in range(nblocks):
+        blk = [0] * 64
+        for k in range(64):
+            s = (1103515245 * s + 12345) & 0x7FFFFFFF
+            if k == 0:
+                blk[0] = (s % (2 * mag)) - mag
+            elif (s / 0x7FFFFFFF) < density:
+                s = (1103515245 * s + 12345) & 0x7FFFFFFF
+                blk[k] = (s % (2 * mag)) - mag
+        out.append(blk)
+    return out
+
+
+def test_progressive_jpeg_decodes_identically_to_baseline():
+    """The SAME quantized coefficients in a baseline (SOF0) and a
+    progressive (SOF2) container must decode to bit-identical pixels —
+    the multi-scan path (DC first/refine, spectral-selection AC bands,
+    two successive-approximation refinement passes, cross-block EOB
+    runs) reconstructs exactly the coefficients the one-scan path reads
+    directly.  Cases cover 4:4:4 / 4:2:2 / 4:2:0, non-MCU-aligned edges
+    (where non-interleaved AC scans cover FEWER blocks than the
+    MCU-aligned grid), sparse blocks (long EOB runs needing EOBn extra
+    bits), and restart intervals in both interleaved and non-interleaved
+    scans."""
+    import numpy as np
+
+    from pprl_spark.fixtures import (
+        make_jpeg_from_quantized,
+        make_progressive_jpeg_from_quantized,
+    )
+    from pprl_spark.spark.multimodal import decode_jpeg_pixels
+
+    cases = [
+        (101, ((1, 1),), 24, 16, 0.25, 0),
+        (202, ((1, 1), (1, 1), (1, 1)), 20, 12, 0.25, 0),
+        (303, ((2, 2), (1, 1), (1, 1)), 20, 24, 0.2, 0),
+        (404, ((2, 1), (1, 1), (1, 1)), 36, 16, 0.2, 0),
+        (505, ((2, 2), (1, 1), (1, 1)), 48, 32, 0.02, 0),
+        (606, ((1, 1),), 64, 64, 0.004, 0),
+        (707, ((2, 2), (1, 1), (1, 1)), 32, 32, 0.15, 2),
+        (808, ((1, 1),), 40, 24, 0.3, 3),
+    ]
+    for seed, sampling, w, h, density, ri in cases:
+        h_max = max(s[0] for s in sampling)
+        v_max = max(s[1] for s in sampling)
+        mcus = (-(-w // (8 * h_max))) * (-(-h // (8 * v_max)))
+        nblocks = mcus * sum(hi * vi for hi, vi in sampling)
+        blocks = _lcg_jpeg_blocks(seed, nblocks, density)
+        base = decode_jpeg_pixels(
+            make_jpeg_from_quantized(w, h, blocks, sampling=sampling)
+        )
+        prog = decode_jpeg_pixels(
+            make_progressive_jpeg_from_quantized(
+                w, h, blocks, sampling=sampling, restart_interval=ri
+            )
+        )
+        assert np.array_equal(base, prog), (seed, sampling, w, h, ri)
+
+
+def test_progressive_jpeg_refinement_zrl_and_correction_bits():
+    """Crafted coefficients force the refinement-scan corner cases: a
+    newly-nonzero coefficient beyond a >16-zero-history run (ZRL inside
+    a refinement scan with buffered correction bits), blocks whose only
+    content is correction bits (coded purely via the EOB run), and a
+    custom scan script whose refinement goes through two levels."""
+    import numpy as np
+
+    from pprl_spark.fixtures import (
+        _ZIGZAG,
+        make_jpeg_from_quantized,
+        make_progressive_jpeg_from_quantized,
+    )
+    from pprl_spark.spark.multimodal import decode_jpeg_pixels
+
+    def blk_at(pairs):
+        b = [0] * 64
+        for k, v in pairs:  # k is the SCAN (zigzag) index
+            b[_ZIGZAG[k]] = v
+        return b
+
+    blocks = [
+        # early previously-nonzero (|v|>=8 → nonzero at Al=2,1), then a
+        # newly-nonzero magnitude-1-at-Al=1 coef after 20 zero positions
+        blk_at([(0, 40), (2, -9), (23, 3), (63, 5)]),
+        # correction-bits-only block: nothing newly nonzero at Al=1
+        blk_at([(0, -100), (5, 12), (60, -8)]),
+        # all-zero AC band (pure EOB-run member)
+        blk_at([(0, 7)]),
+        # dense-ish tail to end the run
+        blk_at([(1, 1), (17, -2), (40, 6), (62, -3)]),
+    ]
+    base = decode_jpeg_pixels(make_jpeg_from_quantized(16, 16, blocks))
+    prog = decode_jpeg_pixels(
+        make_progressive_jpeg_from_quantized(16, 16, blocks)
+    )
+    assert np.array_equal(base, prog)
+    # pure spectral selection, no successive approximation (Al=0 everywhere)
+    spectral = make_progressive_jpeg_from_quantized(
+        16, 16, blocks,
+        scans=[((0,), 0, 0, 0, 0), ((0,), 1, 9, 0, 0), ((0,), 10, 63, 0, 0)],
+    )
+    assert np.array_equal(base, decode_jpeg_pixels(spectral))
+
+
+def test_progressive_patterned_jpeg_matches_baseline_and_pattern():
+    import numpy as np
+
+    from pprl_spark.fixtures import (
+        make_patterned_jpeg_bytes,
+        make_patterned_progressive_jpeg_bytes,
+    )
+    from pprl_spark.spark.multimodal import decode_jpeg_pixels
+
+    for doc_id, (w, h) in ((5, (16, 16)), (42, (32, 24))):
+        prog = decode_jpeg_pixels(
+            make_patterned_progressive_jpeg_bytes(w, h, doc_id)
+        )
+        base = decode_jpeg_pixels(make_patterned_jpeg_bytes(w, h, doc_id))
+        assert np.array_equal(prog, base)
+        expect = np.array(
+            [
+                [(doc_id + 7 * (r // 8) + 3 * (c // 8)) % 251 for c in range(w)]
+                for r in range(h)
+            ],
+            dtype=np.uint8,
+        )[:, :, None]
+        assert np.array_equal(prog, expect)
+
+
+def test_progressive_jpeg_real_file_luma_parity(spark):
+    """External ground truth (the GIF-LZW lesson: a self-consistent
+    fixture pair can share a wrong convention): decode a real-world
+    progressive JPEG (SOF2, 4:2:2, 10 scans, produced by a standard
+    encoder) and compare sampled pixels against the JVM's javax.imageio
+    decoder.  Luma must agree to IDCT-rounding tolerance; chroma is
+    compared loosely because our upsampling is nearest-neighbor while
+    ImageIO interpolates (documented behavior, same as baseline)."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from pprl_spark.spark.multimodal import decode_jpeg_pixels
+
+    path = (
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/"
+        "doc/rust/html/embedded-book/assets/f3.jpg"
+    )
+    if not os.path.exists(path):
+        pytest.skip("real-world progressive JPEG not present on this box")
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    W, H = img.getWidth(), img.getHeight()
+    mine = decode_jpeg_pixels(open(path, "rb").read())
+    assert mine.shape == (H, W, 3)
+    luma, rgb = [], []
+    for yi in range(12):
+        for xi in range(12):
+            x = min(xi * W // 12 + 1, W - 1)
+            y = min(yi * H // 12 + 1, H - 1)
+            v = img.getRGB(x, y)
+            r, g, b = (v >> 16) & 255, (v >> 8) & 255, v & 255
+            m = mine[y, x].astype(int)
+            luma.append(
+                abs(0.299 * (m[0] - r) + 0.587 * (m[1] - g) + 0.114 * (m[2] - b))
+            )
+            rgb.append(max(abs(m[0] - r), abs(m[1] - g), abs(m[2] - b)))
+    assert float(np.mean(luma)) < 1.0 and float(np.max(luma)) < 4.0, (
+        np.mean(luma), np.max(luma))
+    assert float(np.mean(rgb)) < 6.0, np.mean(rgb)
