@@ -15,7 +15,14 @@ and JPEG — baseline SOF0 (new r4) AND progressive SOF2 (r5: spectral
 selection + successive approximation, coefficients accumulated across
 scans), 4:2:0/4:2:2 chroma subsampling included;
 ``image_pixel_features`` builds pixel-level features on top.
-``NotImplementedError`` remains for compressed audio/video codecs.
+
+Audio/video run at the HEADER/METADATA tier (also pure stdlib): WAV
+chunk walk, FLAC STREAMINFO, MPEG Layer III exact frame-walk, Ogg
+Vorbis/Opus id header + last-page granule, MP4 box tree, Matroska/WebM
+EBML tree, AVI ``hdrl``/``avih`` — all r5.  ``NotImplementedError``
+remains only for SAMPLE/FRAME decode of compressed audio/video codecs
+(mp3/vorbis/opus PCM, h264 & co.), which genuinely need codec
+libraries.
 ``decoder="stub"`` derives
 deterministic fake features from the payload digest (full plumbing —
 schema, batching, partitioning — without any format assumption).
@@ -247,6 +254,253 @@ def parse_mp4_header(payload: bytes) -> dict:
     out.setdefault("width", 0)
     out.setdefault("height", 0)
     return out
+
+
+def parse_flac_header(payload: bytes) -> dict:
+    """FLAC STREAMINFO metadata (the mandatory first block after the
+    ``fLaC`` magic): sample rate (20 bits), channels−1 (3), bits−1 (5),
+    total samples (36) packed into 8 bytes at offset 18.  Pure stdlib;
+    the rice-coded audio frames themselves are not decoded."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    if len(payload) < 26 or (payload[4] & 0x7F) != 0:
+        raise ValueError("corrupt FLAC: first block is not STREAMINFO")
+    v = int.from_bytes(payload[18:26], "big")
+    rate = v >> 44
+    if rate == 0:
+        raise ValueError("corrupt FLAC: zero sample rate")
+    channels = ((v >> 41) & 0x07) + 1
+    bits = ((v >> 36) & 0x1F) + 1
+    total = v & ((1 << 36) - 1)
+    return {
+        "n_channels": channels,
+        "sample_rate": rate,
+        "bits_per_sample": bits,
+        "n_frames": total,
+        "duration_sec": total / rate,
+    }
+
+
+_MP3_BITRATE_V1_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                      224, 256, 320)
+_MP3_BITRATE_V2_L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                      144, 160)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def parse_mp3_header(payload: bytes) -> dict:
+    """MPEG Layer III metadata by walking EVERY frame header (exact for
+    VBR too — no Xing/estimate shortcuts): skip ID3v2, then from each
+    11-bit sync read version (MPEG1/2/2.5), bitrate and sample-rate
+    indices, compute the frame length, hop to the next frame.  Duration
+    is frames × samples-per-frame ÷ rate.  The MDCT/huffman audio data
+    itself is not decoded."""
+    i = 0
+    n = len(payload)
+    if payload[:3] == b"ID3" and n >= 10:
+        i = 10 + ((payload[6] << 21) | (payload[7] << 14)
+                  | (payload[8] << 7) | payload[9])
+    frames = 0
+    rate = channels = 0
+    spf = 0
+    while i + 4 <= n:
+        if payload[i] != 0xFF or (payload[i + 1] & 0xE0) != 0xE0:
+            if frames == 0:
+                i += 1  # scan for the first sync
+                continue
+            break  # trailing tag after the last frame
+        b1, b2, b3 = payload[i + 1], payload[i + 2], payload[i + 3]
+        ver = (b1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 0x03  # 1 = Layer III
+        if ver == 1 or layer != 1:
+            raise ValueError("unsupported MPEG audio variant (Layer III only)")
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("corrupt MP3: free-form/bad bitrate or rate")
+        div = 1 if ver == 3 else (2 if ver == 2 else 4)
+        rate = _MP3_RATES[sr_idx] // div
+        kbps = (_MP3_BITRATE_V1_L3 if ver == 3 else _MP3_BITRATE_V2_L3)[br_idx]
+        spf = 1152 if ver == 3 else 576
+        padding = (b2 >> 1) & 1
+        channels = 1 if ((b3 >> 6) & 0x03) == 3 else 2
+        frame_len = spf * kbps * 1000 // 8 // rate + padding
+        if frame_len <= 4:
+            raise ValueError("corrupt MP3: degenerate frame length")
+        frames += 1
+        i += frame_len
+    if frames == 0:
+        raise ValueError("corrupt MP3: no frame sync found")
+    total = frames * spf
+    return {
+        "n_channels": channels,
+        "sample_rate": rate,
+        "bits_per_sample": 0,  # lossy codec — no fixed sample width
+        "n_frames": total,
+        "duration_sec": total / rate,
+    }
+
+
+def parse_ogg_header(payload: bytes) -> dict:
+    """Ogg container metadata: the first page's body carries the codec
+    identification header (Vorbis: ``\\x01vorbis`` with channels u8 +
+    rate u32le; Opus: ``OpusHead`` with channels u8, pre-skip u16le —
+    granules run at 48 kHz regardless of input rate), and the LAST
+    page's granule position is the total PCM sample count.  Pure stdlib
+    page walk; the codec packets are not decoded."""
+    if payload[:4] != b"OggS":
+        raise ValueError("not an Ogg payload")
+    nsegs = payload[26]
+    body = 27 + nsegs
+    pkt = payload[body : body + 16]
+    if pkt[:7] == b"\x01vorbis":
+        codec = "vorbis"
+        channels = pkt[11]
+        rate = int.from_bytes(payload[body + 12 : body + 16], "little")
+        pre_skip = 0
+    elif pkt[:8] == b"OpusHead":
+        codec = "opus"
+        channels = pkt[9]
+        pre_skip = int.from_bytes(pkt[10:12], "little")
+        rate = 48000  # Opus granule clock is always 48 kHz
+    else:
+        raise ValueError("unsupported Ogg codec (vorbis/opus id header only)")
+    if rate == 0:
+        raise ValueError("corrupt Ogg: zero sample rate")
+    last = payload.rfind(b"OggS")
+    granule = int.from_bytes(payload[last + 6 : last + 14], "little")
+    total = max(granule - pre_skip, 0)
+    return {
+        "codec": codec,
+        "n_channels": channels,
+        "sample_rate": rate,
+        "bits_per_sample": 0,
+        "n_frames": total,
+        "duration_sec": total / rate,
+    }
+
+
+def _ebml_vint(payload: bytes, i: int, strip_marker: bool) -> tuple:
+    """EBML variable-length integer at ``i`` → (value, next_index).
+    Element IDs keep the length-marker bit (matching the spec's ID
+    notation, e.g. 0x1A45DFA3); sizes strip it.  An all-ones size VINT
+    means 'unknown size' and is returned as -1."""
+    b0 = payload[i]
+    if b0 == 0:
+        raise ValueError("corrupt EBML: invalid VINT")
+    length = 8 - b0.bit_length() + 1
+    if i + length > len(payload):
+        raise ValueError("corrupt EBML: truncated VINT")
+    v = b0 if not strip_marker else b0 & ((1 << (8 - length)) - 1)
+    all_ones = (not strip_marker) or v == (1 << (8 - length)) - 1
+    for j in range(1, length):
+        v = (v << 8) | payload[i + j]
+        all_ones = all_ones and payload[i + j] == 0xFF
+    if strip_marker and all_ones:
+        return -1, i + length
+    return v, i + length
+
+
+def _ebml_children(payload: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) for EBML elements in a
+    range; an unknown-size element extends to the range end."""
+    i = start
+    while i < end:
+        eid, j = _ebml_vint(payload, i, strip_marker=False)
+        size, k = _ebml_vint(payload, j, strip_marker=True)
+        stop = end if size < 0 else min(k + size, end)
+        yield eid, k, stop
+        i = stop
+
+
+def parse_mkv_header(payload: bytes) -> dict:
+    """Matroska/WebM metadata from the EBML tree: DocType from the EBML
+    header, TimestampScale (ns per unit, default 10⁶) + Duration (float,
+    in units) from Segment→Info, PixelWidth/PixelHeight from the first
+    Segment→Tracks→TrackEntry→Video.  Pure stdlib; clusters/codec data
+    are never touched."""
+    if payload[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("not a Matroska/WebM payload")
+    doctype = "matroska"
+    ts_scale = 1_000_000
+    duration_units = 0.0
+    width = height = 0
+    for eid, b, e in _ebml_children(payload, 0, len(payload)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for e2, b2, e3 in _ebml_children(payload, b, e):
+                if e2 == 0x4282:  # DocType
+                    doctype = payload[b2:e3].split(b"\x00")[0].decode(
+                        "ascii", "replace"
+                    )
+        elif eid == 0x18538067:  # Segment
+            for e2, b2, e3 in _ebml_children(payload, b, e):
+                if e2 == 0x1549A966:  # Info
+                    for e4, b4, e5 in _ebml_children(payload, b2, e3):
+                        if e4 == 0x2AD7B1:
+                            ts_scale = int.from_bytes(payload[b4:e5], "big")
+                        elif e4 == 0x4489:
+                            import struct
+
+                            raw = payload[b4:e5]
+                            duration_units = struct.unpack(
+                                ">f" if len(raw) == 4 else ">d", raw
+                            )[0]
+                elif e2 == 0x1654AE6B and not width:  # Tracks
+                    for e4, b4, e5 in _ebml_children(payload, b2, e3):
+                        if e4 != 0xAE:  # TrackEntry
+                            continue
+                        for e6, b6, e7 in _ebml_children(payload, b4, e5):
+                            if e6 != 0xE0:  # Video
+                                continue
+                            for e8, b8, e9 in _ebml_children(payload, b6, e7):
+                                if e8 == 0xB0:
+                                    width = int.from_bytes(payload[b8:e9], "big")
+                                elif e8 == 0xBA:
+                                    height = int.from_bytes(payload[b8:e9], "big")
+    if ts_scale <= 0:
+        raise ValueError("corrupt MKV: bad TimestampScale")
+    return {
+        "format": "webm" if doctype == "webm" else "mkv",
+        "width": width,
+        "height": height,
+        # normalize to the MP4 convention: timescale = units per second
+        "timescale": 1_000_000_000 // ts_scale,
+        "duration_units": int(round(duration_units)),
+    }
+
+
+def parse_avi_header(payload: bytes) -> dict:
+    """AVI (RIFF) metadata from the ``hdrl``/``avih`` main header:
+    microseconds per frame, total frames, width, height.  Pure stdlib
+    RIFF walk; the movi stream data is not decoded."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"LIST" and payload[i + 8 : i + 12] == b"hdrl":
+            j = i + 12
+            end = min(i + 8 + size, n)
+            while j + 8 <= end:
+                c2 = payload[j : j + 4]
+                s2 = int.from_bytes(payload[j + 4 : j + 8], "little")
+                if c2 == b"avih" and s2 >= 40:
+                    b = payload[j + 8 : j + 48]
+                    usec = int.from_bytes(b[0:4], "little")
+                    total = int.from_bytes(b[16:20], "little")
+                    width = int.from_bytes(b[32:36], "little")
+                    height = int.from_bytes(b[36:40], "little")
+                    return {
+                        "format": "avi",
+                        "width": width,
+                        "height": height,
+                        "timescale": 1_000_000,
+                        "duration_units": total * usec,
+                    }
+                j += 8 + s2 + (s2 & 1)
+        i += 8 + size + (size & 1)
+    raise ValueError("corrupt AVI: no hdrl/avih header")
 
 
 def _real_image_features(payload: bytes) -> dict:
@@ -1074,10 +1328,14 @@ def decode_audio_features(
 ) -> DataFrame:
     """Binary audio column → typed metadata rows via mapInPandas.
 
-    WAV (RIFF) headers are parsed in pure stdlib (``parse_wav_header``);
-    compressed codecs (mp3/ogg/flac) raise ``NotImplementedError`` — they
-    need real decoder libraries.  Same scale story as the image path:
-    embarrassingly parallel, payload never shuffled or collected."""
+    Metadata is parsed in pure stdlib for WAV (RIFF chunk walk), FLAC
+    (STREAMINFO), MPEG Layer III (exact per-frame header walk — VBR
+    included), and Ogg Vorbis/Opus (id header + last-page granule);
+    other codecs raise ``NotImplementedError``.  Sample-stream DECODE of
+    the compressed codecs still needs real decoder libraries — this is
+    the header/metadata tier, same treatment as MP4 on the video side.
+    Same scale story as the image path: embarrassingly parallel, payload
+    never shuffled or collected."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1086,16 +1344,29 @@ def decode_audio_features(
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload)
-                if payload[:4] != b"RIFF":
+                if payload[:4] == b"RIFF":
+                    fmt, meta = "wav", parse_wav_header(payload)
+                elif payload[:4] == b"fLaC":
+                    fmt, meta = "flac", parse_flac_header(payload)
+                elif payload[:4] == b"OggS":
+                    meta = parse_ogg_header(payload)
+                    fmt = meta.pop("codec")
+                elif payload[:3] == b"ID3" or (
+                    len(payload) > 1
+                    and payload[0] == 0xFF
+                    and (payload[1] & 0xE0) == 0xE0
+                ):
+                    fmt, meta = "mp3", parse_mp3_header(payload)
+                else:
                     raise NotImplementedError(
-                        "real audio decode supports WAV (RIFF) headers; "
-                        "compressed codecs need libraries not present here"
+                        "audio metadata decode supports WAV/FLAC/MP3/Ogg "
+                        "headers; other codecs (and PCM decode of the "
+                        "compressed ones) need libraries not present here"
                     )
-                meta = parse_wav_header(payload)
                 rows.append(
                     {
                         "doc_id": int(doc_id),
-                        "format": "wav",
+                        "format": fmt,
                         "sha256": hashlib.sha256(payload).hexdigest(),
                         **meta,
                     }
@@ -1120,10 +1391,12 @@ def decode_video_features(
 ) -> DataFrame:
     """Binary video column → typed metadata rows via mapInPandas.
 
-    MP4/ISO-BMFF headers are parsed in pure stdlib (``parse_mp4_header``);
-    other containers (mkv/webm/avi) raise ``NotImplementedError``.  The
-    duration is also projected as exact integer microseconds
-    (units·10⁶ div timescale) — engine-portable, no float time math."""
+    Container metadata is parsed in pure stdlib for MP4/ISO-BMFF (box
+    tree), Matroska/WebM (EBML tree), and AVI (RIFF hdrl/avih); other
+    containers raise ``NotImplementedError``.  Frame DECODE of the video
+    codecs inside still needs real codec libraries.  The duration is
+    also projected as exact integer microseconds (units·10⁶ div
+    timescale) — engine-portable, no float time math."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1132,16 +1405,22 @@ def decode_video_features(
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload)
-                if len(payload) < 12 or payload[4:8] != b"ftyp":
+                if len(payload) >= 12 and payload[4:8] == b"ftyp":
+                    meta = parse_mp4_header(payload)
+                    meta["format"] = "mp4"
+                elif payload[:4] == b"\x1aE\xdf\xa3":
+                    meta = parse_mkv_header(payload)
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    meta = parse_avi_header(payload)
+                else:
                     raise NotImplementedError(
-                        "real video decode supports MP4 (ISO-BMFF) headers; "
-                        "other containers need codec libraries not present here"
+                        "video container decode supports MP4/MKV/WebM/AVI "
+                        "headers; other containers (and frame decode) need "
+                        "codec libraries not present here"
                     )
-                meta = parse_mp4_header(payload)
                 rows.append(
                     {
                         "doc_id": int(doc_id),
-                        "format": "mp4",
                         "duration_us": meta["duration_units"] * 1_000_000
                         // meta["timescale"] if meta["timescale"] else 0,
                         "sha256": hashlib.sha256(payload).hexdigest(),

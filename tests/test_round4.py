@@ -98,13 +98,20 @@ def test_decode_audio_features_spark(spark):  # noqa: F811
         assert by_id[i]["format"] == "wav"
 
 
-def test_decode_audio_gates_compressed_codecs(spark):  # noqa: F811
+def test_decode_audio_gates_unsupported_codecs(spark):  # noqa: F811
     from pprl_spark.spark.multimodal import decode_audio_features
 
-    df = spark.createDataFrame([(1, bytearray(b"ID3\x04fake-mp3"))],
+    # WAV/FLAC/MP3/Ogg are parsed since r5; a genuinely-unknown codec
+    # (AIFF here) must still raise, and a truncated ID3-only stream is
+    # now a corrupt MP3 rather than an unsupported format
+    df = spark.createDataFrame([(1, bytearray(b"FORM\x00\x00\x00\x04AIFF"))],
                                "doc_id long, payload binary")
-    with pytest.raises(Exception, match="NotImplementedError|RIFF|WAV"):
+    with pytest.raises(Exception, match="NotImplementedError|metadata decode"):
         decode_audio_features(df).collect()
+    df2 = spark.createDataFrame([(1, bytearray(b"ID3\x04fake-mp3"))],
+                                "doc_id long, payload binary")
+    with pytest.raises(Exception, match="corrupt MP3"):
+        decode_audio_features(df2).collect()
 
 
 def test_png_raster_decode_all_filter_types():

@@ -948,3 +948,124 @@ def test_progressive_jpeg_real_file_luma_parity(spark):
     assert float(np.mean(luma)) < 1.0 and float(np.max(luma)) < 4.0, (
         np.mean(luma), np.max(luma))
     assert float(np.mean(rgb)) < 6.0, np.mean(rgb)
+
+
+def test_audio_metadata_parsers_flac_mp3_ogg():
+    """FLAC STREAMINFO, MPEG Layer III frame-walk (MPEG1 + MPEG2, VBR
+    padding alternation), and Ogg Vorbis/Opus id-header + last-granule
+    parsing — all pure stdlib, fixture round-trips."""
+    from pprl_spark.fixtures import (
+        make_flac_bytes,
+        make_mp3_bytes,
+        make_ogg_bytes,
+    )
+    from pprl_spark.spark.multimodal import (
+        parse_flac_header,
+        parse_mp3_header,
+        parse_ogg_header,
+    )
+
+    f = parse_flac_header(make_flac_bytes(96000, 6, 24, 7_000_000))
+    assert f == {
+        "n_channels": 6, "sample_rate": 96000, "bits_per_sample": 24,
+        "n_frames": 7_000_000, "duration_sec": 7_000_000 / 96000,
+    }
+    m1 = parse_mp3_header(make_mp3_bytes(30))
+    assert (m1["sample_rate"], m1["n_frames"], m1["n_channels"]) == (
+        44100, 30 * 1152, 2)
+    m2 = parse_mp3_header(make_mp3_bytes(25, version=2, mono=True))
+    assert (m2["sample_rate"], m2["n_frames"], m2["n_channels"]) == (
+        22050, 25 * 576, 1)
+    v = parse_ogg_header(make_ogg_bytes("vorbis", 44100, 2, 88200))
+    assert (v["codec"], v["n_frames"], v["duration_sec"]) == (
+        "vorbis", 88200, 2.0)
+    o = parse_ogg_header(make_ogg_bytes("opus", 48000, 1, 96000))
+    # Opus granules include pre-skip; the parser must subtract it
+    assert (o["codec"], o["sample_rate"], o["n_frames"]) == (
+        "opus", 48000, 96000)
+
+
+def test_mp3_real_file_exact_frame_walk():
+    """External ground truth: the real-world MP3 on this box (gsutil
+    test data, MPEG2 Layer III 64 kbps 22.05 kHz) must parse, and its
+    frame-walk duration must equal the independent CBR arithmetic
+    audio_bytes × 8 ÷ bitrate."""
+    import os
+
+    import pytest
+
+    from pprl_spark.spark.multimodal import parse_mp3_header
+
+    path = "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+    if not os.path.exists(path):
+        pytest.skip("real-world MP3 not present on this box")
+    payload = open(path, "rb").read()
+    meta = parse_mp3_header(payload)
+    assert meta["sample_rate"] == 22050 and meta["n_channels"] == 1
+    id3 = 10 + ((payload[6] << 21) | (payload[7] << 14)
+                | (payload[8] << 7) | payload[9])
+    expect = (len(payload) - id3) * 8 / 64000
+    assert abs(meta["duration_sec"] - expect) < 0.03
+
+
+def test_video_container_parsers_mkv_webm_avi():
+    from pprl_spark.fixtures import make_avi_bytes, make_mkv_bytes
+    from pprl_spark.spark.multimodal import parse_avi_header, parse_mkv_header
+
+    m = parse_mkv_header(make_mkv_bytes(640, 360, 12345.0))
+    assert m == {"format": "mkv", "width": 640, "height": 360,
+                 "timescale": 1000, "duration_units": 12345}
+    w = parse_mkv_header(
+        make_mkv_bytes(1280, 720, 500.0, timestamp_scale=500_000, webm=True)
+    )
+    assert w["format"] == "webm" and w["timescale"] == 2000
+    a = parse_avi_header(make_avi_bytes(320, 240, 250, 40000))
+    # 250 frames at 25 fps = 10 s, expressed in exact microseconds
+    assert a == {"format": "avi", "width": 320, "height": 240,
+                 "timescale": 1_000_000, "duration_units": 10_000_000}
+
+
+def test_decode_audio_video_features_mixed_formats(spark):
+    """The Spark surfaces dispatch every supported container in one
+    batch and produce exact integer durations."""
+    from pprl_spark.fixtures import (
+        make_avi_bytes,
+        make_flac_bytes,
+        make_mkv_bytes,
+        make_mp3_bytes,
+        make_mp4_bytes,
+        make_ogg_bytes,
+        make_wav_bytes,
+    )
+    from pprl_spark.spark.multimodal import (
+        decode_audio_features,
+        decode_video_features,
+    )
+
+    audio = spark.createDataFrame(
+        [
+            (1, bytes(make_wav_bytes(8000, 1, 16, 8000))),
+            (2, bytes(make_flac_bytes(44100, 2, 16, 88200))),
+            (3, bytes(make_mp3_bytes(20))),
+            (4, bytes(make_ogg_bytes("opus", 48000, 2, 48000))),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_audio_features(audio).collect()}
+    assert rows[1].format == "wav" and rows[1].n_frames == 8000
+    assert rows[2].format == "flac" and rows[2].duration_sec == 2.0
+    assert rows[3].format == "mp3" and rows[3].n_frames == 20 * 1152
+    assert rows[4].format == "opus" and rows[4].duration_sec == 1.0
+    video = spark.createDataFrame(
+        [
+            (1, bytes(make_mp4_bytes(640, 480, 600, 1800))),
+            (2, bytes(make_mkv_bytes(1920, 1080, 60_000.0))),
+            (3, bytes(make_avi_bytes(320, 240, 100, 33367))),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_video_features(video).collect()}
+    assert rows[1].format == "mp4" and rows[1].duration_us == 3_000_000
+    assert (rows[2].format, rows[2].width, rows[2].duration_us) == (
+        "mkv", 1920, 60_000_000)
+    assert rows[3].format == "avi" and rows[3].duration_us == 3_336_700
