@@ -1013,14 +1013,23 @@ def multimodal_video(spark, sf_dir):
 
 
 def multimodal_frames(spark, sf_dir):
-    """Frame-sampling plumbing over binary payloads (video-style byte-
-    offset slices in the stub decoder)."""
-    from pprl_spark.spark.multimodal import sample_frames
+    """REAL MP4 keyframe extraction (r5, supersedes the byte-slice stub):
+    full fragmentless movies are synthesized per doc_id (decoy soun trak,
+    multi-run stsc, junk-padded chunk offsets), then the video track's
+    sample tables (stss/stsz/stsc/stco) are parsed back and the first 4
+    keyframes' exact mdat byte ranges hashed.  Frame content is
+    ``frame-{doc_id}-{i}`` ASCII, so the oracle recomputes every hash —
+    a wrong byte offset or sync-sample pick breaks the hash match."""
+    from pprl_spark.fixtures import make_movie_payloads
+    from pprl_spark.spark.multimodal import sample_keyframes
 
-    docs = _load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    payloads = make_movie_payloads(docs).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
-    return sample_frames(docs, every_n_bytes=256, max_frames=4)
+    return sample_keyframes(payloads, max_frames=4).select(
+        "doc_id", "frame_idx", "sample_idx", "n_bytes", "frame_sha256"
+    )
 
 
 
@@ -2615,16 +2624,24 @@ def oracle_sql() -> dict[str, str]:
                         // (8000 + (doc_id % 8) * 4000) AS BIGINT) AS duration_us
             FROM documents
         """,
-        # corpus is ASCII (asserted in tests), so 1024-char substrings hash
-        # the same bytes as the engine's payload byte slices
+        # the movie fixture writes frame i as the ASCII string
+        # frame-{doc_id}-{i}; keyframes are samples 0, se, 2se, ... of
+        # n = 6 + id%7 samples with se = 2 + id%3 — all id arithmetic,
+        # so offsets/sync picks are transitively hash-verified
         "multimodal_frames": """
-            WITH f AS (
-              SELECT doc_id, text,
-                     unnest(range(0, least(4, greatest(1, length(text) // 256)))) AS i
+            WITH p AS (
+              SELECT doc_id, 6 + doc_id % 7 AS n_samples, 2 + doc_id % 3 AS se
               FROM documents
+            ), f AS (
+              SELECT doc_id, se,
+                     unnest(range(0, least(4, (n_samples + se - 1) // se))) AS j
+              FROM p
             )
-            SELECT doc_id, CAST(i AS INT) AS frame_idx,
-                   sha256(text[CAST(i*256 + 1 AS INT):CAST(i*256 + 256 AS INT)]) AS frame_sha256
+            SELECT doc_id, CAST(j AS INT) AS frame_idx,
+                   CAST(j * se AS INT) AS sample_idx,
+                   CAST(length(printf('frame-%d-%d', doc_id, j * se)) AS INT)
+                     AS n_bytes,
+                   sha256(printf('frame-%d-%d', doc_id, j * se)) AS frame_sha256
             FROM f
         """,
         # assertion-shaped sketch rows: exact answer oracle-checked in SQL,

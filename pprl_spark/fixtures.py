@@ -40,6 +40,8 @@ __all__ = [
     "make_audio_payloads",
     "video_payload_row",
     "make_video_payloads",
+    "make_mp4_movie_bytes",
+    "make_movie_payloads",
 ]
 
 _ACCENTED = ["müller", "björk", "façade", "jürgen", "zoë", "garçon", "über", "señor"]
@@ -1097,6 +1099,146 @@ def make_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             if pdf.empty:
                 continue
             yield pd.DataFrame([video_payload_row(int(i)) for i in pdf[id_col]])
+
+    return df.select(id_col).mapInPandas(_gen, schema="doc_id long, payload binary")
+
+
+def make_mp4_movie_bytes(
+    doc_id: int,
+    n_samples: int,
+    sync_every: int,
+    uniform_size: int = 0,
+    co64: bool = False,
+    with_stss: bool = True,
+) -> bytes:
+    """Complete fragmentless MP4 *movie*: ftyp + moov carrying TWO traks
+    — a decoy ``soun`` trak (whose sample tables must be skipped) and the
+    ``vide`` trak with real stss/stsz/stsc/stco(co64) tables — plus an
+    ``mdat`` whose sample bytes live at the exact offsets the tables
+    declare.  Frame ``i``'s content is the ASCII string
+    ``frame-{doc_id}-{i}`` (variable length unless ``uniform_size``), so
+    a SQL oracle can recompute every keyframe hash from id arithmetic.
+
+    Chunk layout is intentionally non-trivial: samples pack greedily as
+    [3, 3, 2, 2, ...] (remainder in the last chunk), compressed into
+    multi-run stsc entries, and each chunk is preceded by
+    ``(doc_id + chunk_idx) % 3`` junk bytes so offsets are only
+    recoverable through stco — never by cumulative sizes alone.
+    Sync samples (1-based) are 1, 1+sync_every, 1+2·sync_every, …
+    """
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    def frame(i: int) -> bytes:
+        raw = f"frame-{doc_id}-{i}".encode()
+        if uniform_size:
+            raw = (raw + b"." * uniform_size)[:uniform_size]
+        return raw
+
+    frames = [frame(i) for i in range(n_samples)]
+    sizes = [len(f) for f in frames]
+
+    # greedy chunking: 3, 3, 2, 2, ... with the remainder in the last chunk
+    chunk_sizes: list[int] = []
+    left = n_samples
+    for want in (3, 3):
+        if left <= 0:
+            break
+        take = min(want, left)
+        chunk_sizes.append(take)
+        left -= take
+    while left > 0:
+        take = min(2, left)
+        chunk_sizes.append(take)
+        left -= take
+    # compress chunk sizes into stsc runs (first_chunk, samples_per_chunk)
+    runs: list[tuple[int, int]] = []
+    for ci, cs in enumerate(chunk_sizes, start=1):
+        if not runs or runs[-1][1] != cs:
+            runs.append((ci, cs))
+
+    def hdlr(handler: bytes) -> bytes:
+        return box(b"hdlr", b"\x00" * 4 + b"\x00" * 4 + handler + b"\x00" * 12)
+
+    def stbl(chunk_offsets: list[int], video: bool) -> bytes:
+        if not video:
+            # decoy soun tables: 1 chunk, 1 sample, bogus offset — a
+            # parser that grabs the first stbl it sees returns garbage
+            return box(b"stbl",
+                       box(b"stsz", b"\x00" * 4 + struct.pack(">II", 99, 1))
+                       + box(b"stsc", b"\x00" * 4 + struct.pack(">IIII", 1, 1, 1, 1))
+                       + box(b"stco", b"\x00" * 4 + struct.pack(">II", 1, 8)))
+        stsz = box(b"stsz", b"\x00" * 4
+                   + struct.pack(">II", uniform_size, n_samples)
+                   + (b"" if uniform_size else
+                      b"".join(struct.pack(">I", s) for s in sizes)))
+        stsc = box(b"stsc", b"\x00" * 4 + struct.pack(">I", len(runs))
+                   + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs))
+        if co64:
+            stco = box(b"co64", b"\x00" * 4 + struct.pack(">I", len(chunk_offsets))
+                       + b"".join(struct.pack(">Q", o) for o in chunk_offsets))
+        else:
+            stco = box(b"stco", b"\x00" * 4 + struct.pack(">I", len(chunk_offsets))
+                       + b"".join(struct.pack(">I", o) for o in chunk_offsets))
+        body = stsz + stsc + stco
+        if with_stss:
+            syncs = list(range(1, n_samples + 1, sync_every))
+            body += box(b"stss", b"\x00" * 4 + struct.pack(">I", len(syncs))
+                        + b"".join(struct.pack(">I", s) for s in syncs))
+        return box(b"stbl", body)
+
+    def moov(chunk_offsets: list[int]) -> bytes:
+        mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 600, 1200) + b"\x00" * 80)
+        soun_trak = box(b"trak", box(b"mdia", hdlr(b"soun")
+                                     + box(b"minf", stbl([], video=False))))
+        vide_trak = box(b"trak", box(b"mdia", hdlr(b"vide")
+                                     + box(b"minf", stbl(chunk_offsets, video=True))))
+        return box(b"moov", mvhd + soun_trak + vide_trak)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    # two-pass layout: moov size is offset-independent (fixed 4/8-byte
+    # fields), so measure with zeros, then fill the real offsets
+    placeholder = moov([0] * len(chunk_sizes))
+    mdat_body_start = len(ftyp) + len(placeholder) + 8
+
+    def layout() -> tuple[list[int], bytes]:
+        offsets, body, si = [], bytearray(), 0
+        for ci, cs in enumerate(chunk_sizes):
+            body += b"\xee" * ((doc_id + ci) % 3)  # junk between chunks
+            offsets.append(mdat_body_start + len(body))
+            for _ in range(cs):
+                body += frames[si]
+                si += 1
+        return offsets, bytes(body)
+
+    offsets, mdat_body = layout()
+    final_moov = moov(offsets)
+    assert len(final_moov) == len(placeholder)
+    return ftyp + final_moov + box(b"mdat", mdat_body)
+
+
+def make_movie_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (doc_id, payload BINARY) full-movie MP4 feed: per id,
+    ``n_samples = 6 + id % 7`` frames, keyframes every ``2 + id % 3``
+    samples — all SQL-reproducible id arithmetic."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                [
+                    {
+                        "doc_id": int(i),
+                        "payload": make_mp4_movie_bytes(
+                            int(i), 6 + int(i) % 7, 2 + int(i) % 3
+                        ),
+                    }
+                    for i in pdf[id_col]
+                ]
+            )
 
     return df.select(id_col).mapInPandas(_gen, schema="doc_id long, payload binary")
 

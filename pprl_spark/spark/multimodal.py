@@ -60,6 +60,7 @@ __all__ = [
     "resize_nearest",
     "image_pixel_features",
     "sample_frames",
+    "sample_keyframes",
 ]
 
 _IMAGE_FEATURE_SCHEMA = (
@@ -1467,3 +1468,174 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(_sample, schema=_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample tables → real keyframe extraction (container tier, no codec)
+# ---------------------------------------------------------------------------
+
+def _mp4_find_stbl(payload: bytes) -> tuple[int, int]:
+    """Locate the sample-table box (``stbl``) of the first VIDEO track:
+    walk moov → trak → mdia, check ``hdlr.handler_type == 'vide'`` (the
+    fixture also carries a ``soun`` trak that must be skipped), then
+    descend mdia → minf → stbl.  Returns the stbl body range."""
+    for typ, b, e in _mp4_boxes(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t2, b2, e2 in _mp4_boxes(payload, b, e):
+            if t2 != b"trak":
+                continue
+            for t3, b3, e3 in _mp4_boxes(payload, b2, e2):
+                if t3 != b"mdia":
+                    continue
+                handler = None
+                minf = None
+                for t4, b4, e4 in _mp4_boxes(payload, b3, e3):
+                    if t4 == b"hdlr":
+                        # version/flags(4) + pre_defined(4) + handler(4)
+                        handler = payload[b4 + 8 : b4 + 12]
+                    elif t4 == b"minf":
+                        minf = (b4, e4)
+                if handler != b"vide" or minf is None:
+                    continue
+                for t5, b5, e5 in _mp4_boxes(payload, *minf):
+                    if t5 == b"stbl":
+                        return b5, e5
+    raise ValueError("corrupt MP4: no video track sample table (stbl)")
+
+
+def _u32s(payload: bytes, off: int, n: int) -> list[int]:
+    return [
+        int.from_bytes(payload[off + 4 * i : off + 4 * i + 4], "big")
+        for i in range(n)
+    ]
+
+
+def _mp4_video_samples(payload: bytes) -> list[tuple[int, int, bool]]:
+    """Expand the video track's sample tables into a flat per-sample list
+    of ``(absolute_byte_offset, size, is_sync)``:
+
+    - ``stsz``  sample sizes (uniform ``sample_size`` field or per-sample)
+    - ``stsc``  sample-to-chunk runs ``(first_chunk, samples_per_chunk)``;
+      a run applies to every chunk until the next run's first_chunk
+    - ``stco``/``co64``  absolute chunk offsets (u32 / u64)
+    - ``stss``  1-based sync-sample numbers; ABSENT ⇒ every sample is a
+      keyframe (ISO 14496-12 §8.6.2)
+
+    Offsets are chunk offset + cumulative size of prior samples in the
+    chunk — samples within a chunk are contiguous, chunks need not be.
+    """
+    sb, se = _mp4_find_stbl(payload)
+    sizes: list[int] | None = None
+    runs: list[tuple[int, int]] = []
+    chunk_offsets: list[int] = []
+    sync: set[int] | None = None
+    for typ, b, e in _mp4_boxes(payload, sb, se):
+        if typ == b"stsz":
+            uniform = int.from_bytes(payload[b + 4 : b + 8], "big")
+            count = int.from_bytes(payload[b + 8 : b + 12], "big")
+            sizes = [uniform] * count if uniform else _u32s(payload, b + 12, count)
+        elif typ == b"stsc":
+            n = int.from_bytes(payload[b + 4 : b + 8], "big")
+            runs = [
+                (
+                    int.from_bytes(payload[b + 8 + 12 * i : b + 12 + 12 * i], "big"),
+                    int.from_bytes(payload[b + 12 + 12 * i : b + 16 + 12 * i], "big"),
+                )
+                for i in range(n)
+            ]
+        elif typ == b"stco":
+            n = int.from_bytes(payload[b + 4 : b + 8], "big")
+            chunk_offsets = _u32s(payload, b + 8, n)
+        elif typ == b"co64":
+            n = int.from_bytes(payload[b + 4 : b + 8], "big")
+            chunk_offsets = [
+                int.from_bytes(payload[b + 8 + 8 * i : b + 16 + 8 * i], "big")
+                for i in range(n)
+            ]
+        elif typ == b"stss":
+            n = int.from_bytes(payload[b + 4 : b + 8], "big")
+            sync = set(_u32s(payload, b + 8, n))
+    if sizes is None or not runs or not chunk_offsets:
+        raise ValueError("corrupt MP4: missing stsz/stsc/stco in stbl")
+    out: list[tuple[int, int, bool]] = []
+    sample_no = 0  # 0-based global sample counter
+    for ci, coff in enumerate(chunk_offsets, start=1):
+        per_chunk = 0
+        for first, spc in runs:
+            if first <= ci:
+                per_chunk = spc
+            else:
+                break
+        pos = coff
+        for _ in range(per_chunk):
+            if sample_no >= len(sizes):
+                break
+            sz = sizes[sample_no]
+            is_sync = sync is None or (sample_no + 1) in sync
+            out.append((pos, sz, is_sync))
+            pos += sz
+            sample_no += 1
+    if sample_no != len(sizes):
+        raise ValueError(
+            f"corrupt MP4: chunk map covers {sample_no} samples, stsz has {len(sizes)}"
+        )
+    return out
+
+
+_KEYFRAME_SCHEMA = (
+    "doc_id long, frame_idx int, sample_idx int, byte_offset long, "
+    "n_bytes int, frame_sha256 string"
+)
+
+
+def sample_keyframes(
+    df: DataFrame,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL MP4 keyframe extraction at the container level (no codec):
+    parse the video track's sample tables (stss sync samples, stsz sizes,
+    stsc sample→chunk map, stco/co64 chunk offsets), slice the first
+    ``max_frames`` keyframes' exact byte ranges out of ``mdat``, and emit
+    one row per keyframe with its offset, size, and content hash.
+
+    This is what a 100 TB video-curation pass actually needs before any
+    codec work: keyframe counts/sizes/hashes for dedup and sampling,
+    computed from the index tables without decoding a single pixel.
+    Partition-parallel ``mapInPandas``; payloads never shuffle.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                samples = _mp4_video_samples(payload)
+                keyframes = [(i, s) for i, s in enumerate(samples) if s[2]]
+                for fi, (si, (off, sz, _)) in enumerate(keyframes[:max_frames]):
+                    if off + sz > len(payload):
+                        raise ValueError(
+                            f"corrupt MP4: sample {si} range {off}+{sz} "
+                            f"beyond payload ({len(payload)} bytes)"
+                        )
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": fi,
+                            "sample_idx": si,
+                            "byte_offset": off,
+                            "n_bytes": sz,
+                            "frame_sha256": hashlib.sha256(
+                                payload[off : off + sz]
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _extract, schema=_KEYFRAME_SCHEMA
+    )

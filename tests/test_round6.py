@@ -1069,3 +1069,82 @@ def test_decode_audio_video_features_mixed_formats(spark):
     assert (rows[2].format, rows[2].width, rows[2].duration_us) == (
         "mkv", 1920, 60_000_000)
     assert rows[3].format == "avi" and rows[3].duration_us == 3_336_700
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample tables → real keyframe extraction (r5)
+# ---------------------------------------------------------------------------
+
+def test_mp4_sample_tables_roundtrip_all_variants():
+    """Every sample's (offset, size, sync) recovered from stss/stsz/stsc/
+    stco must slice the exact frame bytes back out of mdat — across
+    variable ids (junk-padded chunks, multi-run stsc, decoy soun trak)."""
+    import hashlib
+
+    from pprl_spark.fixtures import make_mp4_movie_bytes
+    from pprl_spark.spark.multimodal import _mp4_video_samples
+
+    for doc_id in range(30):
+        n, se = 6 + doc_id % 7, 2 + doc_id % 3
+        payload = make_mp4_movie_bytes(doc_id, n, se)
+        samples = _mp4_video_samples(payload)
+        assert len(samples) == n
+        for i, (off, sz, is_sync) in enumerate(samples):
+            assert payload[off : off + sz] == f"frame-{doc_id}-{i}".encode()
+            assert is_sync == (i % se == 0)
+
+
+def test_mp4_sample_tables_uniform_co64_no_stss():
+    from pprl_spark.fixtures import make_mp4_movie_bytes
+    from pprl_spark.spark.multimodal import _mp4_video_samples
+
+    p = make_mp4_movie_bytes(7, 9, 3, uniform_size=32, co64=True, with_stss=False)
+    s = _mp4_video_samples(p)
+    assert len(s) == 9
+    assert all(sz == 32 for _, sz, _ in s)          # uniform stsz field
+    assert all(sync for _, _, sync in s)            # absent stss ⇒ all sync
+    assert p[s[4][0] : s[4][0] + 10] == b"frame-7-4."
+
+
+def test_mp4_sample_tables_reject_headerless_and_mismatched():
+    from pprl_spark.fixtures import make_mp4_bytes, make_mp4_movie_bytes
+    from pprl_spark.spark.multimodal import _mp4_video_samples
+
+    # header-only MP4 (no vide trak with an stbl)
+    with pytest.raises(ValueError, match="stbl"):
+        _mp4_video_samples(make_mp4_bytes(320, 240, 600, 1200))
+    # chunk map covering fewer samples than stsz declares: drop one stco
+    # entry by truncating the count field
+    p = bytearray(make_mp4_movie_bytes(3, 8, 2))
+    i = p.rfind(b"stco")  # rfind: the decoy soun trak has an stco too
+    n = int.from_bytes(p[i + 8 : i + 12], "big")
+    p[i + 8 : i + 12] = (n - 1).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="covers"):
+        _mp4_video_samples(bytes(p))
+
+
+def test_sample_keyframes_spark(spark):
+    """sample_keyframes over a distributed movie feed: first-4 keyframes
+    per doc, content hash == hash of the logical frame string."""
+    import hashlib
+
+    from pprl_spark.fixtures import make_movie_payloads
+    from pprl_spark.spark.multimodal import sample_keyframes
+
+    docs = spark.range(40).withColumnRenamed("id", "doc_id")
+    rows = sample_keyframes(
+        make_movie_payloads(docs), max_frames=4
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(40))
+    for doc_id, rs in by_doc.items():
+        n, se = 6 + doc_id % 7, 2 + doc_id % 3
+        n_sync = -(-n // se)
+        assert len(rs) == min(4, n_sync)
+        for r in sorted(rs, key=lambda r: r.frame_idx):
+            assert r.sample_idx == r.frame_idx * se
+            raw = f"frame-{doc_id}-{r.sample_idx}".encode()
+            assert r.n_bytes == len(raw)
+            assert r.frame_sha256 == hashlib.sha256(raw).hexdigest()
