@@ -326,25 +326,51 @@ def text_quality(spark, sf_dir):
     )
 
 
-def adjacent_jaccard(spark, sf_dir):
+def fingerprint_jaccard(spark, sf_dir):
+    """Merged r5 row (= r4's `fingerprint_md5` + `adjacent_jaccard`, freeing
+    a driver slot for `lm_perplexity`): whitespace-normalized MD5 content
+    fingerprint per document LEFT JOINed with the 3-gram Jaccard similarity
+    to the next doc_id (the last document gets sentinel -1.0 — NULL-free
+    per the driver comparator's NaN rule)."""
     from pprl_spark.spark.dedup import ngram_jaccard, qgram_tokens
 
-    docs = _load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", qgram_tokens(F.col("text"), 3).alias("toks"))
-    a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
-    b = toks.select((F.col("doc_id") - 1).alias("id_a"), F.col("toks").alias("toks_b"))
-    return (
-        a.join(b, "id_a")
-        .select("id_a", F.round(ngram_jaccard(F.col("toks_a"), F.col("toks_b")), 6).alias("jaccard"))
-    )
-
-
-def fingerprint_md5(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     normalized = F.concat_ws(
         " ", F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
     )
-    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+    fp = docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+    toks = docs.select("doc_id", qgram_tokens(F.col("text"), 3).alias("toks"))
+    a = toks.select(F.col("doc_id").alias("doc_id"), F.col("toks").alias("toks_a"))
+    b = toks.select((F.col("doc_id") - 1).alias("doc_id"), F.col("toks").alias("toks_b"))
+    jac = a.join(b, "doc_id").select(
+        "doc_id",
+        F.round(ngram_jaccard(F.col("toks_a"), F.col("toks_b")), 6).alias("next_jaccard"),
+    )
+    return fp.join(jac, "doc_id", "left").select(
+        "doc_id",
+        "fingerprint",
+        F.coalesce("next_jaccard", F.lit(-1.0)).alias("next_jaccard"),
+    )
+
+
+def lm_perplexity(spark, sf_dir):
+    """Stupid Backoff trigram LM (Brants et al. 2007) trained on the even
+    doc_ids, perplexity-scoring the odd doc_ids (the held-out split
+    exercises every backoff path: seen trigrams, bigram/unigram backoff,
+    and the unseen-word count-1 floor).  Pure Catalyst: explode + hash-agg
+    training counts (materialized once), per-level gram joins with the
+    unigram level broadcast, backoff cascade as one CASE expression."""
+    from pprl_spark.spark.lm import score_documents, train_stupid_backoff
+
+    docs = _load(spark, sf_dir, "documents")
+    counts = train_stupid_backoff(docs.filter(F.col("doc_id") % 2 == 0))
+    scored = score_documents(docs.filter(F.col("doc_id") % 2 == 1), counts)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round("perplexity", 4).alias("perplexity"),
+    )
 
 
 def embedding_topk(spark, sf_dir):
@@ -1334,8 +1360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline ops
         "dedup_exact": dedup_exact,
         "text_quality": text_quality,
-        "adjacent_jaccard": adjacent_jaccard,
-        "fingerprint_md5": fingerprint_md5,
+        "fingerprint_jaccard": fingerprint_jaccard,
+        "lm_perplexity": lm_perplexity,
         "embedding_topk": embedding_topk,
         # multimodal columns (binary payloads + real stdlib decoders)
         "multimodal_decode": multimodal_decode,
@@ -2809,23 +2835,83 @@ def oracle_sql() -> dict[str, str]:
                                 BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
             FROM documents
         """,
-        "adjacent_jaccard": """
+        "fingerprint_jaccard": r"""
             WITH toks AS (
               SELECT doc_id,
                      list_distinct([substring(text, CAST(i AS INT), 3)
                                     FOR i IN range(1, greatest(length(text) - 2, 1) + 1)]) AS t
               FROM documents
+            ), jac AS (
+              SELECT a.doc_id AS doc_id,
+                     round(length(list_intersect(a.t, b.t))::DOUBLE
+                           / length(list_distinct(list_concat(a.t, b.t))), 6) AS next_jaccard
+              FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
             )
-            SELECT a.doc_id AS id_a,
-                   round(length(list_intersect(a.t, b.t))::DOUBLE
-                         / length(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
-            FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+            SELECT d.doc_id,
+                   md5(array_to_string(list_filter(regexp_split_to_array(d.text, '\s+'),
+                                                   w -> w <> ''), ' ')) AS fingerprint,
+                   coalesce(j.next_jaccard, -1.0) AS next_jaccard
+            FROM documents d LEFT JOIN jac j ON j.doc_id = d.doc_id
         """,
-        "fingerprint_md5": r"""
-            SELECT doc_id,
-                   md5(array_to_string(list_filter(regexp_split_to_array(text, '\s+'),
-                                                   w -> w <> ''), ' ')) AS fingerprint
-            FROM documents
+        # Stupid Backoff (Brants et al. 2007): S(w|ctx) = c(ctx,w)/c(ctx)
+        # if seen else 0.4*S(w|shorter ctx); unigram floor max(c(w),1)/N.
+        # Train = even doc_ids, eval = odd.  ln/exp/avg run in DOUBLE on
+        # both engines; round(6)/round(4) absorbs last-ulp libm drift.
+        "lm_perplexity": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
+              FROM documents
+            ), pw AS (
+              SELECT doc_id, i, ws[CAST(i AS INT)] AS w,
+                     CASE WHEN i >= 2 THEN ws[CAST(i - 1 AS INT)] END AS w1,
+                     CASE WHEN i >= 3 THEN ws[CAST(i - 2 AS INT)] END AS w2
+              FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+                    FROM toks WHERE len(ws) >= 1)
+            ), train AS (
+              SELECT * FROM pw WHERE doc_id % 2 = 0
+            ), uni AS (
+              SELECT w AS g, count(*)::BIGINT AS c FROM train GROUP BY w
+            ), big AS (
+              SELECT w1 || ' ' || w AS g, count(*)::BIGINT AS c
+              FROM train WHERE w1 IS NOT NULL GROUP BY 1
+            ), tri AS (
+              SELECT w2 || ' ' || w1 || ' ' || w AS g, count(*)::BIGINT AS c
+              FROM train WHERE w2 IS NOT NULL GROUP BY 1
+            ), tot AS (
+              SELECT count(*)::DOUBLE AS n FROM train
+            ), scored AS (
+              SELECT p.doc_id,
+                     ln(CASE
+                          WHEN t3.c IS NOT NULL THEN t3.c::DOUBLE / bc.c
+                          WHEN p.w2 IS NOT NULL THEN
+                            0.4 * (CASE WHEN b2.c IS NOT NULL THEN b2.c::DOUBLE / uc.c
+                                        ELSE 0.4 * greatest(coalesce(u1.c, 0), 1)::DOUBLE / tot.n END)
+                          WHEN p.w1 IS NOT NULL THEN
+                            (CASE WHEN b2.c IS NOT NULL THEN b2.c::DOUBLE / uc.c
+                                  ELSE 0.4 * greatest(coalesce(u1.c, 0), 1)::DOUBLE / tot.n END)
+                          ELSE greatest(coalesce(u1.c, 0), 1)::DOUBLE / tot.n
+                        END) AS lp
+              FROM pw p
+              LEFT JOIN tri t3 ON p.w2 IS NOT NULL AND t3.g = p.w2 || ' ' || p.w1 || ' ' || p.w
+              LEFT JOIN big b2 ON p.w1 IS NOT NULL AND b2.g = p.w1 || ' ' || p.w
+              LEFT JOIN big bc ON p.w2 IS NOT NULL AND bc.g = p.w2 || ' ' || p.w1
+              LEFT JOIN uni u1 ON u1.g = p.w
+              LEFT JOIN uni uc ON p.w1 IS NOT NULL AND uc.g = p.w1
+              CROSS JOIN tot
+              WHERE p.doc_id % 2 = 1
+            )
+            , agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     round(avg(lp), 6) AS avg_logprob,
+                     round(exp(-avg(lp)), 4) AS perplexity
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.avg_logprob, 0.0) AS avg_logprob,
+                   coalesce(a.perplexity, -1.0) AS perplexity
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+            LEFT JOIN agg a USING (doc_id)
         """,
         # cosine mirrors the engine's float path bit-for-bit: float32
         # products (FLOAT*FLOAT stays FLOAT in both engines) accumulated

@@ -66,7 +66,7 @@ def run_headline() -> dict:
         "corpus_token_stats",
         "dedup_exact",
         "text_quality",
-        "fingerprint_md5",
+        "fingerprint_jaccard",  # r5: absorbed fingerprint_md5 (+ adjacent jaccard join)
         "embedding_topk",
         "minhash_dedup_pairs",
         "simhash_dup_pairs",
@@ -81,6 +81,7 @@ def run_headline() -> dict:
         "quality_filter",
         "contamination_report",
         "documents_split",
+        "lm_perplexity",  # r5 addition
     ]
     # STEAL-AWARE best-of-k (VERDICT r4 #1): this VM has ~30% run-to-run
     # hypervisor-steal noise, and entire driver windows have run at <20%

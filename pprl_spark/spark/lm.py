@@ -1,0 +1,284 @@
+"""Distributed Stupid Backoff n-gram language model + perplexity scoring.
+
+CCNet-style corpus curation scores each document by the perplexity of a
+language model trained on a trusted corpus and drops the high-perplexity
+tail.  At web scale the only LM that trains in one MapReduce pass is the
+Stupid Backoff model of Brants et al. 2007 ("Large Language Models in
+Machine Translation"), which replaces normalized smoothing with a fixed
+backoff multiplier:
+
+    S(w | ctx_n)  =  count(ctx_n, w) / count(ctx_n)        if count > 0
+                  =  alpha * S(w | ctx_{n-1})               otherwise
+    S(w)          =  max(count(w), 1) / N                   (unigram floor)
+
+(the ``max(count, 1)`` floor keeps unseen words finite — the standard
+"UNK has count 1" convention).  Scores are not probabilities (they do
+not sum to 1), which is exactly why training is a pure counting job.
+
+Spark-first shape — no Python in any hot path:
+
+* **Training** is one explode + hash aggregate per gram order, unioned
+  into a single ``(n, gram, cnt)`` counts frame.  Gram context windows
+  are built *inside the token array* with ``transform``/``element_at``
+  before the explode, so no window shuffle over the token stream is
+  ever needed.  The counts frame is the compacted intermediate (distinct
+  grams, far smaller than the corpus) and is materialized with a lazy
+  ``localCheckpoint`` — scoring joins it 2·(order−1)+1 times, and
+  without the materialization each join branch would re-count the whole
+  training corpus (same move as ``textstats.tf_idf_terms``).
+* **Scoring** explodes the eval corpus once and left-joins the counts
+  frame per backoff level on the gram string.  Bigram+ levels are
+  shuffle joins on uniformly-hashed gram keys (AQE's skew split covers
+  Zipf-hot bigrams); the unigram level is Zipf-extreme ("the" at every
+  other position), so it is **broadcast** by default — vocabulary is
+  tiny relative to the corpus.  The backoff cascade itself is a single
+  Catalyst CASE expression; the per-document reduce is a hash agg.
+
+At 10^12 pages the counts frame for order 3 is itself web-scale; the
+gram strings can be replaced by 64-bit hashes (halves shuffle width,
+negligible count-merge collisions) — kept off by default so estimates
+stay exact and SQL-oracle-checkable.
+
+No reference counterpart: ul-mds/pprl has no language-model scoring;
+this extends the curation family (quality.py, decontaminate.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "train_stupid_backoff",
+    "stupid_backoff_scores",
+    "score_documents",
+    "perplexity_filter",
+]
+
+#: row in the counts frame carrying the total training-token count N
+TOTAL_MARKER = 0
+
+
+def _token_positions(
+    df: DataFrame, id_col: str, text_col: str, order: int
+) -> DataFrame:
+    """(id, i, w0..w{order-1}) rows: token at position i (1-based) plus
+    its ``order-1`` predecessors (NULL when the position has none).
+
+    Context windows are materialized inside the token array via
+    ``transform`` before the explode — pure Catalyst, no per-doc window
+    shuffle.  Empty documents are dropped (callers re-attach them with
+    sentinels).  ``sequence(1, 0)`` descends in Spark, hence the
+    ``size >= 1`` filter before building positions.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        # small-scan guard (see dedup._banded): the explode + gram aggs
+        # otherwise run on the parquet scan's 1-4 splits
+        df = df.repartition(parallelism)
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    base = df.select(F.col(id_col), ws.alias("__ws")).filter(
+        F.size("__ws") >= 1
+    )
+
+    def _pos_struct(i: Column) -> Column:
+        fields = [i.alias("i"), F.element_at(F.col("__ws"), i).alias("w0")]
+        for k in range(1, order):
+            fields.append(
+                F.when(
+                    i >= k + 1, F.element_at(F.col("__ws"), i - k)
+                ).alias(f"w{k}")
+            )
+        return F.struct(*fields)
+
+    arr = F.transform(F.sequence(F.lit(1), F.size("__ws")), _pos_struct)
+    return base.select(id_col, F.explode(arr).alias("__p")).select(
+        id_col, "__p.*"
+    )
+
+
+def _gram(cols: list[Column]) -> Column:
+    """Space-joined gram, NULL unless the farthest context word exists
+    (concat_ws silently skips NULLs — a 2-gram would otherwise collide
+    with a 3-gram whose leading word is missing)."""
+    return F.when(cols[0].isNotNull(), F.concat_ws(" ", *cols))
+
+
+def train_stupid_backoff(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order: int = 3,
+) -> DataFrame:
+    """Count all 1..order grams of the corpus in one explode pass.
+
+    Returns ``(n: int, gram: string, cnt: long)`` — one hash aggregate
+    per order over the same positions frame, unioned — plus a marker row
+    ``(0, '', N)`` carrying the total token count.  The result is
+    materialized (lazy ``localCheckpoint``): scoring consumes it once
+    per backoff level and must not re-count the corpus per join.
+    """
+    if order < 2:
+        raise ValueError(f"order must be >= 2 (got {order})")
+    pos = _token_positions(df, id_col, text_col, order)
+    w = [F.col(f"w{k}") for k in range(order)]
+    parts = [
+        pos.agg(
+            F.lit(TOTAL_MARKER).alias("n"),
+            F.lit("").alias("gram"),
+            F.count(F.lit(1)).alias("cnt"),
+        ),
+        pos.groupBy(w[0].alias("gram")).agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(1).alias("n"), "gram", "cnt"),
+    ]
+    for k in range(2, order + 1):
+        # k-gram ending at i exists iff the farthest word w{k-1} does
+        parts.append(
+            pos.filter(w[k - 1].isNotNull())
+            .groupBy(_gram(w[k - 1 :: -1]).alias("gram"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(k).alias("n"), "gram", "cnt")
+        )
+    counts = parts[0]
+    for p in parts[1:]:
+        counts = counts.unionByName(p)
+    return counts.localCheckpoint(eager=False)
+
+
+def stupid_backoff_scores(
+    df: DataFrame,
+    counts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order: int = 3,
+    alpha: float = 0.4,
+    broadcast_unigrams: bool = True,
+) -> DataFrame:
+    """Per-document Stupid Backoff log-score and perplexity.
+
+    Returns ``(id, n_tokens, avg_logprob, perplexity)`` for every
+    document with >= 1 token, where ``avg_logprob = mean(ln S(w_i))``
+    and ``perplexity = exp(-avg_logprob)``.  Positions with fewer than
+    ``order-1`` predecessors start the cascade at their own level (the
+    first token is scored by the raw unigram model, no alpha penalty).
+
+    ``counts`` must come from :func:`train_stupid_backoff` with the same
+    ``order`` (higher-order counts present are ignored).  Unigram-level
+    joins (current + previous word) are broadcast when
+    ``broadcast_unigrams`` — the Zipf-hot keys of the stream — while
+    bigram+ levels stay shuffle joins under AQE skew handling.
+    """
+    if order < 2:
+        raise ValueError(f"order must be >= 2 (got {order})")
+    pos = _token_positions(df, id_col, text_col, order)
+    w = [F.col(f"w{k}") for k in range(order)]
+
+    def _level(n: int) -> DataFrame:
+        lvl = counts.filter(F.col("n") == n).select(
+            F.col("gram").alias(f"__g{n}"), F.col("cnt").alias(f"__c{n}")
+        )
+        return F.broadcast(lvl) if n == 1 and broadcast_unigrams else lvl
+
+    uni = _level(1)
+    scored = pos.join(uni, w[0] == F.col("__g1"), "left").withColumnRenamed(
+        "__c1", "__cnt1"
+    ).drop("__g1")
+    # previous-word unigram count = context of the bigram level
+    ctx1 = (
+        F.broadcast(
+            counts.filter(F.col("n") == 1).select(
+                F.col("gram").alias("__gp"), F.col("cnt").alias("__ctx2")
+            )
+        )
+        if broadcast_unigrams
+        else counts.filter(F.col("n") == 1).select(
+            F.col("gram").alias("__gp"), F.col("cnt").alias("__ctx2")
+        )
+    )
+    scored = scored.join(ctx1, w[1] == F.col("__gp"), "left").drop("__gp")
+    for k in range(2, order + 1):
+        lvl = _level(k)
+        scored = scored.join(
+            lvl, _gram(w[k - 1 :: -1]) == F.col(f"__g{k}"), "left"
+        ).withColumnRenamed(f"__c{k}", f"__cnt{k}").drop(f"__g{k}")
+        if k >= 3:
+            # context count of level k = (k-1)-gram ending at i-1
+            ctx = counts.filter(F.col("n") == k - 1).select(
+                F.col("gram").alias("__gc"), F.col("cnt").alias(f"__ctx{k}")
+            )
+            scored = scored.join(
+                ctx, _gram(w[k - 1 : 0 : -1]) == F.col("__gc"), "left"
+            ).drop("__gc")
+    total = counts.filter(F.col("n") == TOTAL_MARKER).select(
+        F.col("cnt").cast("double").alias("__N")
+    )
+    scored = scored.crossJoin(F.broadcast(total))
+
+    # backoff cascade, built unigram-up; a seen k-gram implies its
+    # context (k-1)-gram was seen, so the divisions never hit NULL/0
+    s = (
+        F.greatest(F.coalesce(F.col("__cnt1"), F.lit(0)), F.lit(1))
+        .cast("double")
+        / F.col("__N")
+    )
+    levels: list[Column] = [s]
+    for k in range(2, order + 1):
+        s = F.when(
+            F.col(f"__cnt{k}").isNotNull(),
+            F.col(f"__cnt{k}").cast("double") / F.col(f"__ctx{k}"),
+        ).otherwise(F.lit(alpha) * s)
+        levels.append(s)
+    # start the cascade at the position's own level: highest k with a
+    # full context window (g_k non-null <=> i >= k)
+    pick = levels[0]
+    for k in range(2, order + 1):
+        pick = F.when(w[k - 1].isNotNull(), levels[k - 1]).otherwise(pick)
+    logp = F.log(pick)
+
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(logp).alias("avg_logprob"),
+        F.exp(-F.avg(logp)).alias("perplexity"),
+    )
+
+
+def score_documents(
+    df: DataFrame,
+    counts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order: int = 3,
+    alpha: float = 0.4,
+    broadcast_unigrams: bool = True,
+) -> DataFrame:
+    """All input rows scored — token-less documents re-attached with
+    sentinels (``n_tokens=0, avg_logprob=0.0, perplexity=-1.0``) so the
+    result is NULL-free and row-complete."""
+    scores = stupid_backoff_scores(
+        df, counts, id_col, text_col, order, alpha, broadcast_unigrams
+    )
+    return df.select(id_col).join(scores, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+        F.coalesce("perplexity", F.lit(-1.0)).alias("perplexity"),
+    )
+
+
+def perplexity_filter(
+    df: DataFrame,
+    counts: DataFrame,
+    max_perplexity: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order: int = 3,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """CCNet-style keep/reject: documents whose LM perplexity exceeds
+    ``max_perplexity`` (or that have no tokens) are marked rejected.
+    Adds ``perplexity`` and ``keep`` to the input columns."""
+    scores = score_documents(df, counts, id_col, text_col, order, alpha)
+    return df.join(scores, id_col).withColumn(
+        "keep",
+        (F.col("perplexity") >= 0) & (F.col("perplexity") <= max_perplexity),
+    )

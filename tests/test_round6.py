@@ -1148,3 +1148,171 @@ def test_sample_keyframes_spark(spark):
             raw = f"frame-{doc_id}-{r.sample_idx}".encode()
             assert r.n_bytes == len(raw)
             assert r.frame_sha256 == hashlib.sha256(raw).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff n-gram LM (spark/lm.py) — round-5 addition
+# ---------------------------------------------------------------------------
+
+_LM_DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat sat on the hat"),
+    (2, "a dog ran in the park"),
+    (3, "zzz unseen words only zzz"),
+    (4, "the cat"),
+    (5, ""),
+    (6, "   "),
+    (7, "the cat sat on the mat"),
+]
+
+
+def _lm_py_reference(train_ids, order=3, alpha=0.4):
+    """Row-at-a-time Stupid Backoff, the semantic spec for the
+    distributed implementation (Brants et al. 2007 eq. 5 with the
+    standard count-1 unigram floor for unseen words)."""
+    import math
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in _LM_DOCS}
+    uni, big, tri = Counter(), Counter(), Counter()
+    n_total = 0
+    for i in train_ids:
+        ws = toks[i]
+        n_total += len(ws)
+        for j, w in enumerate(ws):
+            uni[w] += 1
+            if j >= 1:
+                big[(ws[j - 1], w)] += 1
+            if j >= 2:
+                tri[(ws[j - 2], ws[j - 1], w)] += 1
+    out = {}
+    for i, _t in _LM_DOCS:
+        ws = toks[i]
+        if not ws:
+            out[i] = (0, 0.0, -1.0)
+            continue
+        lps = []
+        for j, w in enumerate(ws):
+            s1 = max(uni.get(w, 0), 1) / n_total
+            s2 = None
+            if j >= 1:
+                c2 = big.get((ws[j - 1], w))
+                s2 = c2 / uni[ws[j - 1]] if c2 else alpha * s1
+            s3 = None
+            if j >= 2:
+                c3 = tri.get((ws[j - 2], ws[j - 1], w))
+                s3 = c3 / big[(ws[j - 2], ws[j - 1])] if c3 else alpha * s2
+            s = s3 if j >= 2 else (s2 if j >= 1 else s1)
+            lps.append(math.log(s))
+        avg = sum(lps) / len(lps)
+        out[i] = (len(lps), avg, math.exp(-avg))
+    return out
+
+
+def _lm_df(spark):
+    return spark.createDataFrame(_LM_DOCS, ["doc_id", "text"])
+
+
+def test_lm_matches_python_reference(spark):
+    """Every backoff path — seen trigram, bigram backoff, unigram
+    backoff, unseen-word floor, position-1/2 level start, empty and
+    whitespace-only docs — matches the row-at-a-time reference."""
+    from pprl_spark.spark.lm import score_documents, train_stupid_backoff
+
+    df = _lm_df(spark)
+    counts = train_stupid_backoff(df.filter("doc_id % 2 = 0"))
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_logprob, r.perplexity)
+        for r in score_documents(df, counts).collect()
+    }
+    exp = _lm_py_reference([0, 2, 4, 6])
+    assert set(got) == set(exp)
+    for i, (n_e, lp_e, px_e) in exp.items():
+        n_g, lp_g, px_g = got[i]
+        assert n_g == n_e, i
+        assert abs(lp_g - lp_e) < 1e-12, i
+        assert abs(px_g - px_e) < 1e-9 * max(1.0, px_e), i
+
+
+def test_lm_counts_partition_invariant(spark):
+    """Gram counts (and therefore scores) are identical regardless of
+    how the training corpus is partitioned — the merge-associativity
+    requirement of the north rule applied to the counting aggregate."""
+    from pprl_spark.spark.lm import train_stupid_backoff
+
+    df = _lm_df(spark).filter("doc_id % 2 = 0")
+    base = {
+        (r.n, r.gram): r.cnt
+        for r in train_stupid_backoff(df).collect()
+    }
+    for parts in (1, 3, 7):
+        redistributed = {
+            (r.n, r.gram): r.cnt
+            for r in train_stupid_backoff(df.repartition(parts)).collect()
+        }
+        assert redistributed == base, parts
+
+
+def test_lm_order2(spark):
+    """order=2 trains no trigrams and scores with the bigram cascade."""
+    from pprl_spark.spark.lm import (
+        score_documents,
+        train_stupid_backoff,
+    )
+
+    df = _lm_df(spark)
+    counts = train_stupid_backoff(df.filter("doc_id % 2 = 0"), order=2)
+    assert counts.filter("n >= 3").count() == 0
+    got = {
+        r.doc_id: r.n_tokens
+        for r in score_documents(df, counts, order=2).collect()
+    }
+    assert got[0] == 6 and got[5] == 0
+    # bigram-seen doc scores better than the unseen-words doc
+    px = {
+        r.doc_id: r.perplexity
+        for r in score_documents(df, counts, order=2).collect()
+    }
+    assert px[0] < px[3]
+
+
+def test_lm_perplexity_orders_train_vs_garbage(spark):
+    """A document of training-corpus trigrams scores far lower
+    perplexity than one made of unseen words (the CCNet filter
+    premise), and the duplicate of a training doc scores identically
+    to the original."""
+    from pprl_spark.spark.lm import score_documents, train_stupid_backoff
+
+    df = _lm_df(spark)
+    counts = train_stupid_backoff(df.filter("doc_id % 2 = 0"))
+    px = {
+        r.doc_id: r.perplexity for r in score_documents(df, counts).collect()
+    }
+    assert px[0] < px[3]  # train doc beats unseen-word doc
+    assert abs(px[7] - px[0]) < 1e-12  # same text, same score
+
+
+def test_lm_perplexity_filter(spark):
+    from pprl_spark.spark.lm import perplexity_filter, train_stupid_backoff
+
+    df = _lm_df(spark)
+    counts = train_stupid_backoff(df.filter("doc_id % 2 = 0"))
+    px = {
+        r.doc_id: r.perplexity
+        for r in perplexity_filter(df, counts, max_perplexity=1e9).collect()
+        if r.doc_id == 3
+    }
+    cutoff = px[3] - 1.0  # threshold just below the garbage doc's score
+    rows = perplexity_filter(df, counts, max_perplexity=cutoff).collect()
+    decisions = {r.doc_id: r.keep for r in rows}
+    assert decisions[0] is True
+    assert decisions[3] is False  # above the cutoff
+    assert decisions[5] is False  # token-less: sentinel -1.0 rejects
+    assert len(rows) == len(_LM_DOCS)
+
+
+def test_lm_rejects_bad_order(spark):
+    from pprl_spark.spark.lm import train_stupid_backoff
+
+    with pytest.raises(ValueError, match="order"):
+        train_stupid_backoff(_lm_df(spark), order=1)
