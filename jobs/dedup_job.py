@@ -43,20 +43,50 @@ from pyspark.sql import functions as F
 
 
 def build_stages(docs_path: str, q: int, threshold: float, min_quality: float,
-                 shard_budget: int = 2000):
+                 shard_budget: int = 2000,
+                 lm_max_perplexity: float | None = None,
+                 lm_train_path: str | None = None, lm_order: int = 3):
     from pprl_spark.spark.dedup import jaccard_verify, minhash_lsh_pairs
     from pprl_spark.spark.graph import assign_components
+    from pprl_spark.spark.lm import score_documents, train_stupid_backoff
     from pprl_spark.spark.packing import assign_shards
     from pprl_spark.spark.pipeline import Stage
     from pprl_spark.spark.quality import FilterRules, filter_documents
+
+    # when the CCNet-style LM stage is enabled, everything downstream of
+    # the quality filter consumes its survivors instead of stats's
+    upstream = "lm" if lm_max_perplexity is not None else "stats"
 
     def stats(spark, inputs):
         docs = spark.read.parquet(docs_path).select("doc_id", "text")
         decided = filter_documents(docs, FilterRules(min_quality=min_quality))
         return decided.where(F.col("keep"))
 
+    def lm(spark, inputs):
+        kept = inputs["stats"]
+        # trusted-corpus LM when provided (the CCNet setup: train on a
+        # known-good corpus, score the crawl).  Self-trained otherwise —
+        # note Stupid Backoff has no held-out smoothing, so a singleton
+        # document's own n-grams score near-perfectly; self-training only
+        # flags docs whose VOCABULARY is rare in the corpus, and a
+        # trusted --lm-train corpus is the recommended deployment
+        train = (
+            spark.read.parquet(lm_train_path).select("doc_id", "text")
+            if lm_train_path
+            else kept.select("doc_id", "text")
+        )
+        counts = train_stupid_backoff(train, order=lm_order)
+        scored = score_documents(
+            kept.select("doc_id", "text"), counts, order=lm_order
+        )
+        ok = scored.where(
+            (F.col("perplexity") >= 0)
+            & (F.col("perplexity") <= lm_max_perplexity)
+        ).select("doc_id", "perplexity")
+        return kept.join(ok, "doc_id")
+
     def pairs(spark, inputs):
-        docs = inputs["stats"].select("doc_id", "text")
+        docs = inputs[upstream].select("doc_id", "text")
         cands = minhash_lsh_pairs(docs, "doc_id", "text", q=q,
                                   num_hashes=128, bands=16,
                                   max_bucket_size=1000)
@@ -64,7 +94,7 @@ def build_stages(docs_path: str, q: int, threshold: float, min_quality: float,
                               threshold=threshold)
 
     def components(spark, inputs):
-        docs = inputs["stats"].select("doc_id")
+        docs = inputs[upstream].select("doc_id")
         edges = inputs["pairs"].select("id_a", "id_b")
         return assign_components(docs, "doc_id", edges)
 
@@ -85,21 +115,31 @@ def build_stages(docs_path: str, q: int, threshold: float, min_quality: float,
 
     def shards(spark, inputs):
         keep = inputs["canonical"].where(F.col("is_canonical")).select("doc_id")
-        docs = inputs["stats"].select("doc_id", "n_tokens")
+        docs = inputs[upstream].select("doc_id", "n_tokens")
         kept = docs.join(keep, "doc_id")
         return assign_shards(kept, "doc_id", "n_tokens", budget=shard_budget)
 
-    return [
+    stages = [
         Stage("stats", stats, config={"docs": docs_path,
                                       "min_quality": min_quality}),
-        Stage("pairs", pairs, inputs=("stats",),
+    ]
+    if lm_max_perplexity is not None:
+        stages.append(
+            Stage("lm", lm, inputs=("stats",),
+                  config={"max_perplexity": lm_max_perplexity,
+                          "train": lm_train_path or "<self>",
+                          "order": lm_order}),
+        )
+    stages += [
+        Stage("pairs", pairs, inputs=(upstream,),
               config={"q": q, "threshold": threshold,
                       "num_hashes": 128, "bands": 16}),
-        Stage("components", components, inputs=("stats", "pairs")),
+        Stage("components", components, inputs=(upstream, "pairs")),
         Stage("canonical", canonical, inputs=("components",)),
-        Stage("shards", shards, inputs=("stats", "canonical"),
+        Stage("shards", shards, inputs=(upstream, "canonical"),
               config={"budget": shard_budget}),
     ]
+    return stages
 
 
 def main() -> None:
@@ -110,6 +150,13 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--min-quality", type=float, default=0.0)
     ap.add_argument("--shard-budget", type=int, default=2000)
+    ap.add_argument("--lm-max-perplexity", type=float, default=None,
+                    help="enable the CCNet-style Stupid Backoff LM stage "
+                    "between quality filter and dedup")
+    ap.add_argument("--lm-train", default=None,
+                    help="trusted-corpus parquet to train the LM on "
+                    "(default: the quality-filtered corpus itself)")
+    ap.add_argument("--lm-order", type=int, default=3)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -120,7 +167,9 @@ def main() -> None:
     pipeline = Pipeline(
         spark, args.workdir,
         build_stages(args.docs, args.q, args.threshold, args.min_quality,
-                     shard_budget=args.shard_budget),
+                     shard_budget=args.shard_budget,
+                     lm_max_perplexity=args.lm_max_perplexity,
+                     lm_train_path=args.lm_train, lm_order=args.lm_order),
     )
     results = pipeline.run()
     canon = results["canonical"]

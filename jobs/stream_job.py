@@ -1,7 +1,9 @@
 """Composed Structured-Streaming job: continuously-arriving pages →
-quality filter (stateless projection, r4) → exact dedup
-(watermark-bounded state) → CLK encode → parquet sink — the streaming
-counterpart of jobs/dedup_job.py's batch curation stages.
+quality filter (stateless projection, r4) → optional benchmark
+decontamination + Stupid-Backoff perplexity filter (broadcast-model
+stateless projections, r5) → exact dedup (watermark-bounded state) →
+CLK encode → parquet sink — the streaming counterpart of
+jobs/dedup_job.py's batch curation stages.
 
 Launch (sandbox):
     python jobs/stream_job.py --src /tmp/pages_in --out /tmp/stream_out \
@@ -29,10 +31,13 @@ PAGES_SCHEMA = "url string, text string, lang string, ts timestamp"
 
 def build_query(spark, src: str, out: str, ckpt: str, once: bool,
                 rules=None, eval_src: str | None = None,
-                decontaminate_n: int = 13):
+                decontaminate_n: int = 13,
+                lm_counts: str | None = None,
+                lm_max_perplexity: float = 1e6):
     from pprl_spark.config import (CLKFilter, HashConfig, HashFunctionConfig,
                                    MaskConfig)
     from pprl_spark.spark.decontaminate import streaming_decontaminate
+    from pprl_spark.spark.lm import counts_to_local, streaming_perplexity_filter
     from pprl_spark.spark.quality import FilterRules
     from pprl_spark.streaming import (streaming_dedup_exact, streaming_mask,
                                       streaming_quality_filter)
@@ -59,6 +64,20 @@ def build_query(spark, src: str, out: str, ckpt: str, once: bool,
         filtered = streaming_decontaminate(
             filtered, spark.read.parquet(eval_src), "text", n=decontaminate_n
         )
+    if lm_counts is not None:
+        # CCNet-style LM perplexity filter at ingest (r5): the trained
+        # Stupid Backoff counts (jobs/lm via `pprl-spark lm-train` or the
+        # batch job's lm stage) broadcast once; scoring is a stateless
+        # Arrow-batched projection, batch≡stream decision-equal
+        filtered = (
+            streaming_perplexity_filter(
+                filtered,
+                counts_to_local(spark.read.parquet(lm_counts)),
+                max_perplexity=lm_max_perplexity,
+            )
+            .where("keep_lm")
+            .select("url", "text", "lang", "ts")
+        )
     deduped = streaming_dedup_exact(filtered, "text", "ts", watermark="2 hours")
     encoded = streaming_mask(
         deduped.withColumnRenamed("url", "id"), cfg, ["text"]
@@ -83,13 +102,18 @@ def main() -> None:
     ap.add_argument("--eval-src", default=None,
                     help="parquet dir of benchmark docs (text column); "
                     "enables the decontamination stage")
+    ap.add_argument("--lm-counts", default=None,
+                    help="parquet dir of Stupid Backoff counts "
+                    "(pprl-spark lm-train); enables the perplexity filter")
+    ap.add_argument("--lm-max-perplexity", type=float, default=1e6)
     args = ap.parse_args()
 
     from pprl_spark.spark.session import get_spark
 
     spark = get_spark("stream-job", master=args.master)
     q = build_query(spark, args.src, args.out, args.ckpt, args.once,
-                    eval_src=args.eval_src)
+                    eval_src=args.eval_src, lm_counts=args.lm_counts,
+                    lm_max_perplexity=args.lm_max_perplexity)
     q.awaitTermination()
     spark.stop()
 

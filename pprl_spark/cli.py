@@ -269,6 +269,71 @@ def _cmd_quality(args, spark) -> None:
     _write_single_csv(out.orderBy("doc_id"), args.output)
 
 
+def _read_docs(args, spark):
+    from pyspark.sql import functions as F
+
+    if args.input.endswith(".parquet") or os.path.isdir(args.input):
+        docs = spark.read.parquet(args.input)
+    else:
+        docs = spark.read.csv(args.input, header=True)
+    if args.id_column not in docs.columns or args.text_column not in docs.columns:
+        raise ValueError(
+            f"input needs `{args.id_column}` and `{args.text_column}` columns "
+            f"(found {docs.columns})"
+        )
+    return docs.select(
+        F.col(args.id_column).cast("long").alias("doc_id"),
+        F.col(args.text_column).alias("text"),
+    )
+
+
+def _cmd_lm_train(args, spark) -> None:
+    """Beyond-reference: train a Stupid Backoff n-gram LM (Brants et al.
+    2007) on a corpus → gram-counts parquet consumed by `lm-score` and
+    the streaming job's --lm-counts stage."""
+    from .spark.lm import train_stupid_backoff
+
+    docs = _read_docs(args, spark)
+    counts = train_stupid_backoff(docs, order=args.order)
+    if args.prune_min_count > 1:
+        # CCNet-style pruning: drop rare high-order grams so the model
+        # broadcasts; keep the total marker and the unigram floor exact
+        counts = counts.filter(
+            (counts.n <= 1) | (counts.cnt >= args.prune_min_count)
+        )
+    counts.write.mode("overwrite").parquet(args.output)
+    print(f"wrote {args.output} (order={args.order})")
+
+
+def _cmd_lm_score(args, spark) -> None:
+    """Beyond-reference: score a corpus's per-document perplexity under
+    a trained Stupid Backoff LM → decision CSV (doc_id, n_tokens,
+    avg_logprob, perplexity[, keep])."""
+    from pyspark.sql import functions as F
+
+    from .spark.lm import perplexity_filter, score_documents
+
+    docs = _read_docs(args, spark)
+    counts = spark.read.parquet(args.counts)
+    order = counts.agg(F.max("n")).collect()[0][0]
+    if args.max_perplexity is not None:
+        out = perplexity_filter(
+            docs, counts, args.max_perplexity, order=order
+        ).select(
+            "doc_id", "n_tokens",
+            F.round("avg_logprob", 6).alias("avg_logprob"),
+            F.round("perplexity", 4).alias("perplexity"),
+            "keep",
+        )
+    else:
+        out = score_documents(docs, counts, order=order).select(
+            "doc_id", "n_tokens",
+            F.round("avg_logprob", 6).alias("avg_logprob"),
+            F.round("perplexity", 4).alias("perplexity"),
+        )
+    _write_single_csv(out.orderBy("doc_id"), args.output)
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="pprl_spark", description="PySpark-native PPRL engine CLI"
@@ -357,6 +422,36 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keep-only", action="store_true",
                    help="write only kept documents")
     p.set_defaults(fn=_cmd_quality)
+
+    p = sub.add_parser(
+        "lm-train",
+        help="train a Stupid Backoff n-gram LM → counts parquet; "
+             "beyond the reference surface",
+    )
+    p.add_argument("input", help="documents parquet path/dir or CSV with header")
+    p.add_argument("output", help="counts parquet output dir")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--order", type=int, default=3)
+    p.add_argument("--prune-min-count", type=int, default=1,
+                   help="drop bigram+ grams seen fewer times (CCNet-style "
+                        "pruning for broadcastable models)")
+    p.set_defaults(fn=_cmd_lm_train)
+
+    p = sub.add_parser(
+        "lm-score",
+        help="per-document LM perplexity (optionally keep/reject) "
+             "→ CSV; beyond the reference surface",
+    )
+    p.add_argument("input", help="documents parquet path/dir or CSV with header")
+    p.add_argument("output", help="output CSV path")
+    p.add_argument("--counts", required=True,
+                   help="counts parquet from lm-train")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--max-perplexity", type=float, default=None,
+                   help="emit a keep column thresholded at this perplexity")
+    p.set_defaults(fn=_cmd_lm_score)
     return ap
 
 

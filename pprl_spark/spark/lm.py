@@ -45,6 +45,7 @@ this extends the curation family (quality.py, decontaminate.py).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -53,6 +54,9 @@ __all__ = [
     "stupid_backoff_scores",
     "score_documents",
     "perplexity_filter",
+    "counts_to_local",
+    "score_text_local",
+    "streaming_perplexity_filter",
 ]
 
 #: row in the counts frame carrying the total training-token count N
@@ -262,6 +266,120 @@ def score_documents(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
         F.coalesce("perplexity", F.lit(-1.0)).alias("perplexity"),
+    )
+
+
+def counts_to_local(counts: DataFrame) -> dict:
+    """Collect a :func:`train_stupid_backoff` counts frame into the
+    driver-side dict used by the streaming scorer:
+    ``{(n, gram): cnt, ..., "N": total}``.
+
+    This is the CCNet deployment shape — the *pruned* production LM is a
+    few GB and ships to every executor once (broadcast), which is what
+    makes ingest-time scoring a stateless per-row projection.  Guard
+    rails: collect only counts frames you have pruned (e.g.
+    ``counts.filter("cnt >= k OR n <= 1")``) when the training corpus is
+    large."""
+    local: dict = {}
+    for row in counts.collect():
+        if row.n == TOTAL_MARKER:
+            local["N"] = row.cnt
+        else:
+            local[(row.n, row.gram)] = row.cnt
+    if "N" not in local:
+        raise ValueError("counts frame has no total-token marker row (n=0)")
+    return local
+
+
+def score_text_local(
+    counts: dict, text: str, order: int = 3, alpha: float = 0.4
+) -> tuple[int, float, float]:
+    """Row-at-a-time Stupid Backoff over a local counts dict —
+    ``(n_tokens, avg_logprob, perplexity)``, the same cascade as the
+    distributed path (token loop accumulates in position order, matching
+    the per-doc partial aggregate, so batch and streaming scores agree
+    to float rounding).  Token-less text returns the batch sentinels
+    ``(0, 0.0, -1.0)``."""
+    import math
+
+    ws = [w for w in text.split() if w != ""] if text else []
+    if not ws:
+        return 0, 0.0, -1.0
+    n_total = float(counts["N"])
+    lp_sum = 0.0
+    for j, w in enumerate(ws):
+        c1 = counts.get((1, w), 0)
+        s = max(c1, 1) / n_total
+        top = min(j + 1, order)
+        for k in range(2, top + 1):
+            gram = " ".join(ws[j - k + 1 : j + 1])
+            ck = counts.get((k, gram))
+            if ck is not None:
+                ctx = counts.get(
+                    (k - 1, " ".join(ws[j - k + 1 : j]))
+                    if k > 2
+                    else (1, ws[j - 1])
+                )
+                s = ck / ctx
+            else:
+                s = alpha * s
+        lp_sum += math.log(s)
+    avg = lp_sum / len(ws)
+    return len(ws), avg, math.exp(-avg)
+
+
+def streaming_perplexity_filter(
+    stream_df: DataFrame,
+    counts: dict,
+    max_perplexity: float,
+    text_col: str = "text",
+    order: int = 3,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """CCNet-style LM filter over a STREAMING DataFrame — the
+    ingest-time stage of the curation graph (filter → decontaminate →
+    LM → dedup → encode).
+
+    The batch scorer's explode + gram joins + per-doc aggregate cannot
+    run on a stream (an unbounded groupBy with no watermark key), but
+    the trained model is static: broadcast the counts dict once and
+    score each row locally in an Arrow-batched pandas UDF — a stateless
+    projection, so the plan composes with watermarks/sinks unchanged.
+    Decisions agree with :func:`perplexity_filter` on the same rows
+    (same cascade, same accumulation order; see
+    ``test_lm_streaming_matches_batch``).  Adds ``n_tokens_lm``,
+    ``perplexity`` and ``keep_lm`` columns."""
+    if not stream_df.isStreaming:
+        raise ValueError(
+            "streaming_perplexity_filter expects a streaming DataFrame; "
+            "use perplexity_filter for batch"
+        )
+    bc = stream_df.sparkSession.sparkContext.broadcast(counts)
+
+    @F.pandas_udf("struct<n_tokens_lm:long,perplexity:double>")
+    def _score(texts: pd.Series) -> pd.DataFrame:
+        local = bc.value
+        rows = [
+            score_text_local(local, t if isinstance(t, str) else "", order, alpha)
+            for t in texts
+        ]
+        return pd.DataFrame(
+            {
+                "n_tokens_lm": [r[0] for r in rows],
+                "perplexity": [r[2] for r in rows],
+            }
+        )
+
+    scored = stream_df.withColumn("__lm", _score(F.col(text_col)))
+    return (
+        scored.withColumn("n_tokens_lm", F.col("__lm.n_tokens_lm"))
+        .withColumn("perplexity", F.col("__lm.perplexity"))
+        .drop("__lm")
+        .withColumn(
+            "keep_lm",
+            (F.col("perplexity") >= 0)
+            & (F.col("perplexity") <= F.lit(max_perplexity)),
+        )
     )
 
 

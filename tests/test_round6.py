@@ -1316,3 +1316,180 @@ def test_lm_rejects_bad_order(spark):
 
     with pytest.raises(ValueError, match="order"):
         train_stupid_backoff(_lm_df(spark), order=1)
+
+
+def test_lm_streaming_matches_batch(spark, tmp_path):
+    """streaming_perplexity_filter (broadcast counts dict + Arrow UDF)
+    agrees with the batch join-cascade scorer on the same rows: exact
+    token counts and keep decisions, perplexity to float rounding."""
+    from pprl_spark.spark.lm import (
+        counts_to_local,
+        perplexity_filter,
+        streaming_perplexity_filter,
+        train_stupid_backoff,
+    )
+
+    batch = _lm_df(spark)
+    counts = train_stupid_backoff(batch.filter("doc_id % 2 = 0"))
+    cutoff = 500.0
+    expect = {
+        r["doc_id"]: (r["n_tokens"], r["keep"], r["perplexity"])
+        for r in perplexity_filter(batch, counts, cutoff).collect()
+    }
+
+    src = tmp_path / "lm_src"
+    batch.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    out_dir, ckpt = str(tmp_path / "lm_out"), str(tmp_path / "lm_ckpt")
+    q = (
+        streaming_perplexity_filter(stream, counts_to_local(counts), cutoff)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (r["n_tokens_lm"], r["keep_lm"], r["perplexity"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for i, (n_e, k_e, px_e) in expect.items():
+        n_g, k_g, px_g = got[i]
+        assert (n_g, k_g) == (n_e, k_e), i
+        assert abs(px_g - px_e) <= 1e-9 * max(1.0, abs(px_e)), i
+    assert not all(v[1] for v in got.values())  # cutoff splits the corpus
+
+
+def test_lm_streaming_rejects_batch_frame(spark):
+    from pprl_spark.spark.lm import streaming_perplexity_filter
+
+    with pytest.raises(ValueError, match="streaming"):
+        streaming_perplexity_filter(_lm_df(spark), {"N": 1}, 10.0)
+
+
+def test_cli_lm_train_score(spark, tmp_path):
+    """`lm-train` -> counts parquet -> `lm-score --max-perplexity` CSV
+    round-trip, with pruning keeping unigrams + the total marker."""
+    import csv
+
+    from pprl_spark.cli import build_parser
+
+    docs = tmp_path / "docs.csv"
+    docs.write_text(
+        "doc_id,text\n"
+        + "".join(
+            f"{i},the quick brown fox jumps over the lazy dog\n"
+            for i in range(6)
+        )
+        + "6,xq zv qqk wpl vnm\n"  # unseen-word garbage
+    )
+    counts_dir = tmp_path / "counts"
+    args = build_parser().parse_args(
+        ["lm-train", str(docs), str(counts_dir), "--prune-min-count", "2"]
+    )
+    args.fn(args, spark)
+    cdf = spark.read.parquet(str(counts_dir))
+    assert cdf.filter("n = 0").count() == 1  # total marker survives pruning
+    assert cdf.filter("n >= 2 AND cnt < 2").count() == 0
+
+    out = tmp_path / "scores.csv"
+    args = build_parser().parse_args(
+        ["lm-score", str(docs), str(out), "--counts", str(counts_dir),
+         "--max-perplexity", "50"]
+    )
+    args.fn(args, spark)
+    with open(out) as fh:
+        rows = {r["doc_id"]: r for r in csv.DictReader(fh)}
+    assert len(rows) == 7
+    assert rows["0"]["keep"] == "true"
+    assert rows["6"]["keep"] == "false"
+    assert float(rows["6"]["perplexity"]) > float(rows["0"]["perplexity"])
+
+
+def test_dedup_job_lm_stage(spark, tmp_path):
+    """The batch curation job with --lm-max-perplexity: the LM stage
+    drops perplexity outliers before dedup, downstream stages consume
+    its survivors, and the staged pipeline still resumes."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "dedup_job",
+        pathlib.Path(__file__).resolve().parent.parent / "jobs" / "dedup_job.py",
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+    from pprl_spark.spark.pipeline import Pipeline
+
+    src = tmp_path / "docs"
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rows += [(100 + i, f"xq{i} zv{i} qqk{i} wpl{i} vnm{i} ghw{i}") for i in range(3)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(str(src))
+    # trusted training corpus (the CCNet deployment): a SELF-trained
+    # Stupid Backoff LM scores a singleton doc's own n-grams
+    # near-perfectly (no held-out smoothing), so discrimination requires
+    # an external model
+    train = tmp_path / "train"
+    spark.createDataFrame(
+        [(1000 + i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    ).write.parquet(str(train))
+
+    stages = job.build_stages(str(src), q=5, threshold=0.8, min_quality=0.0,
+                              lm_max_perplexity=40.0,
+                              lm_train_path=str(train))
+    assert [s.name for s in stages][:2] == ["stats", "lm"]
+    results = Pipeline(spark, str(tmp_path / "wd"), stages).run()
+    kept = {r["doc_id"] for r in results["lm"].collect()}
+    assert set(range(20)) <= kept
+    assert not any(d >= 100 for d in kept)  # garbage rows dropped by LM
+    canon = {r["doc_id"] for r in results["canonical"].collect()}
+    assert canon == kept  # downstream consumed the LM survivors
+    # resume is a no-op
+    again = Pipeline(spark, str(tmp_path / "wd"), stages).run()
+    assert {r["doc_id"] for r in again["canonical"].collect()} == canon
+
+
+def test_stream_job_lm_stage(spark, tmp_path):
+    """jobs/stream_job.py with --lm-counts: the perplexity stage sits in
+    the streaming graph and drops high-perplexity pages before dedup."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_job",
+        pathlib.Path(__file__).resolve().parent.parent / "jobs" / "stream_job.py",
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+    from pprl_spark.spark.lm import train_stupid_backoff
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    pages = [
+        (f"u{i}", good, "en") for i in range(8)
+    ] + [("bad0", "xq zv qqk wpl vnm ghw pel", "en")]
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    spark.createDataFrame(
+        [(u, t, lang) for u, t, lang in pages],
+        "url string, text string, lang string",
+    ).selectExpr("url", "text", "lang",
+                 "timestamp '2026-01-01 00:00:00' as ts"
+                 ).coalesce(1).write.parquet(src)
+
+    train = spark.createDataFrame(
+        [(i, good) for i in range(4)], "doc_id long, text string"
+    )
+    counts_dir = str(tmp_path / "counts")
+    train_stupid_backoff(train).write.parquet(counts_dir)
+
+    q = job.build_query(spark, src, out, ckpt, once=True,
+                        lm_counts=counts_dir, lm_max_perplexity=100.0)
+    q.awaitTermination(180)
+    ids = {r["id"] for r in spark.read.parquet(out).collect()}
+    # dedup collapses the 8 identical good pages to 1; the garbage page
+    # is dropped by the LM stage, not deduped
+    assert len(ids) == 1 and "bad0" not in ids
