@@ -339,7 +339,12 @@ def fingerprint_jaccard(spark, sf_dir):
         " ", F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
     )
     fp = docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
-    toks = docs.select("doc_id", qgram_tokens(F.col("text"), 3).alias("toks"))
+    # materialize the tokenization once: both self-join sides (and their
+    # differently-pruned exchanges) would otherwise re-run qgram_tokens
+    # over the whole corpus (same move as tf_idf_terms' tf aggregate)
+    toks = docs.select(
+        "doc_id", qgram_tokens(F.col("text"), 3).alias("toks")
+    ).localCheckpoint(eager=False)
     a = toks.select(F.col("doc_id").alias("doc_id"), F.col("toks").alias("toks_a"))
     b = toks.select((F.col("doc_id") - 1).alias("doc_id"), F.col("toks").alias("toks_b"))
     jac = a.join(b, "doc_id").select(

@@ -1,0 +1,182 @@
+"""Web-page plumbing for the pages table: HTML → text extraction and
+URL canonicalization.
+
+The input contract (BASELINE input_hint) is an Iceberg/parquet table of
+Common-Crawl-style pages ``(url, warc_ts, html binary, text, lang)``
+where ``text`` is the extracted text of ``html`` — these operators
+produce that column and the canonical join keys, the step upstream of
+every curation operator in this package.
+
+Two extraction paths, one contract:
+
+* :func:`extract_text_col` — pure Catalyst (chained ``regexp_replace``):
+  drops comments / script / style blocks, strips tags, decodes the five
+  XML named entities + ``&nbsp;``/``&apos;``, collapses whitespace.
+  JVM-side and codegen-friendly — the 100 TB path.  Documented gap:
+  numeric character references (``&#233;``) pass through unchanged
+  (Catalyst cannot compute a replacement from a match).
+* :func:`extract_text_udf` — Arrow-batched pandas UDF over the stdlib
+  ``html.parser`` + ``html.unescape``: full entity set (named +
+  numeric), attribute values containing ``>``, malformed-markup
+  recovery.  The exact path; ~the cost of one Python pass per page.
+
+Both return byte-identical text for well-formed markup with only named
+entities (property-tested), and both reproduce the pages fixture's
+``text`` column from its ``html`` bytes byte-for-byte — the per-row
+invariant the north star pins ("byte-identical extracted text per
+url").
+
+URL tools are pure Catalyst over Spark's ``parse_url``:
+:func:`canonicalize_url` (lowercase scheme/host, default-port and
+fragment stripping, sorted query keys, tracking-param removal) gives
+retry-stable dedup/join keys; :func:`url_host` /
+:func:`registered_domain` give per-site aggregation keys.
+``registered_domain`` is the last-two-labels heuristic — a real
+deployment swaps in the Public Suffix List (documented).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "extract_text_col",
+    "extract_text_udf",
+    "canonicalize_url",
+    "url_host",
+    "registered_domain",
+]
+
+#: named entities the Catalyst fast path decodes; ``&amp;`` must come
+#: last or already-decoded ampersands would double-decode
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def extract_text_col(col: Column) -> Column:
+    """Catalyst-only HTML → visible text (see module docstring).
+
+    Accepts BINARY or STRING html (string→binary→UTF-8 decode is
+    lossless, so one plan covers both)."""
+    s = F.decode(col.cast("binary"), "UTF-8")
+    # comments, then script/style with their contents, then all tags
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    for ent, repl in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(repl))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def extract_text_udf(col: Column) -> Column:
+    """Exact HTML → text via the stdlib parser (Arrow-batched).
+
+    Same whitespace/separator convention as :func:`extract_text_col`
+    (every tag boundary is a soft separator; runs collapse to one
+    space), plus full entity decoding and malformed-markup recovery.
+    """
+
+    @F.pandas_udf("string")
+    def _extract(html: pd.Series) -> pd.Series:
+        from html.parser import HTMLParser
+
+        class _Text(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__(convert_charrefs=True)
+                self.parts: list[str] = []
+                self._skip = 0
+
+            def handle_starttag(self, tag, attrs):
+                if tag in ("script", "style"):
+                    self._skip += 1
+                self.parts.append(" ")
+
+            def handle_endtag(self, tag):
+                if tag in ("script", "style") and self._skip:
+                    self._skip -= 1
+                self.parts.append(" ")
+
+            def handle_data(self, data):
+                if not self._skip:
+                    self.parts.append(data)
+
+        def one(v) -> str:
+            if v is None:
+                return None
+            if isinstance(v, (bytes, bytearray)):
+                v = bytes(v).decode("utf-8", errors="replace")
+            p = _Text()
+            p.feed(v)
+            p.close()
+            return " ".join("".join(p.parts).split())
+
+        return html.map(one)
+
+    return _extract(col)
+
+
+#: query parameters that never affect content — dropped during
+#: canonicalization (the common tracking families)
+_TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid")
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Deterministic canonical form for dedup/join keys, pure Catalyst:
+    lowercase scheme + host, drop default ports (``:80`` http /
+    ``:443`` https), drop the fragment, drop tracking parameters, sort
+    the remaining query keys (``array_sort`` on the raw ``k=v`` terms),
+    strip a trailing ``/`` from the bare-root path.  Never returns
+    NULL for a parseable http(s) URL; unparseable values pass through
+    unchanged (curation must not silently drop rows)."""
+    scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    host = F.lower(F.try_parse_url(col, F.lit("HOST")))
+    path = F.coalesce(F.try_parse_url(col, F.lit("PATH")), F.lit(""))
+    path = F.when(path.isin("", "/"), F.lit("")).otherwise(path)
+    default_port = F.when(
+        (scheme == "http"), F.lit(80)
+    ).when((scheme == "https"), F.lit(443)).otherwise(F.lit(-1))
+    port = F.regexp_extract(col, r"^[^:]+://[^/:?#]+:(\d+)", 1)
+    port_part = F.when(
+        (port == "") | (port.cast("int") == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    query = F.try_parse_url(col, F.lit("QUERY"))
+    kept = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda kv: (kv != "")
+        & ~F.exists(
+            F.array(*[F.lit(p) for p in _TRACKING_PREFIXES]),
+            lambda p: kv.startswith(p),
+        ),
+    )
+    query_part = F.when(
+        F.size(kept) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(kept), "&")),
+    ).otherwise(F.lit(""))
+    canon = F.concat(
+        scheme, F.lit("://"), host, port_part, path, query_part
+    )
+    return F.when(
+        scheme.isin("http", "https") & host.isNotNull(), canon
+    ).otherwise(col)
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host of the URL (NULL when unparseable)."""
+    return F.lower(F.try_parse_url(col, F.lit("HOST")))
+
+
+def registered_domain(col: Column) -> Column:
+    """Last-two-labels registered-domain heuristic (``a.b.site.co.uk``
+    → ``co.uk`` — WRONG for multi-label public suffixes; a production
+    deployment substitutes a broadcast Public Suffix List lookup, same
+    column contract)."""
+    return F.regexp_extract(url_host(col), r"([^.]+\.[^.]+)$", 1)

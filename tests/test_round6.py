@@ -1493,3 +1493,134 @@ def test_stream_job_lm_stage(spark, tmp_path):
     # dedup collapses the 8 identical good pages to 1; the garbage page
     # is dropped by the LM stage, not deduped
     assert len(ids) == 1 and "bad0" not in ids
+
+
+# ---------------------------------------------------------------------------
+# webtext: HTML text extraction + URL canonicalization (round-5 addition)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_text_fixture_byte_identity(spark):
+    """Both extraction paths reproduce the pages fixture's text column
+    from its html bytes byte-for-byte — the north star's per-row
+    invariant ('byte-identical extracted text per url')."""
+    from pprl_spark.fixtures import make_pages
+    from pprl_spark.spark.webtext import extract_text_col, extract_text_udf
+
+    pages = make_pages(spark, 300, partitions=4)
+    bad = pages.select(
+        "url", "text",
+        extract_text_col(F.col("html")).alias("fast"),
+        extract_text_udf(F.col("html")).alias("exact"),
+    ).filter("fast <> text OR exact <> text")
+    assert bad.count() == 0
+
+
+def test_extract_text_paths_agree_and_handle_markup(spark):
+    """Catalyst fast path == stdlib-parser exact path on well-formed
+    markup with named entities; each strips comments/script/style; the
+    documented divergence (numeric charrefs) only affects the fast
+    path."""
+    from pprl_spark.spark.webtext import extract_text_col, extract_text_udf
+
+    rows = [
+        (1, b"<p>a &amp; b &lt;c&gt; &quot;d&quot;</p>"),
+        (2, b"<script>var x = '<p>no</p>';</script><b>kept</b>"),
+        (3, b"<style type='text/css'>p > a {}</style>before <i>mid</i> after"),
+        (4, b"<!-- <b>gone</b> -->shown"),
+        (5, b"  spaced\n\nout\ttext  "),
+        (6, None),
+        (7, "caf\xe9 literal".encode()),
+    ]
+    df = spark.createDataFrame(rows, "id long, html binary")
+    got = {
+        r["id"]: (r["fast"], r["exact"])
+        for r in df.select(
+            "id",
+            extract_text_col(F.col("html")).alias("fast"),
+            extract_text_udf(F.col("html")).alias("exact"),
+        ).collect()
+    }
+    expect = {
+        1: 'a & b <c> "d"',
+        2: "kept",
+        3: "before mid after",
+        4: "shown",
+        5: "spaced out text",
+        7: "caf\xe9 literal",
+    }
+    for i, e in expect.items():
+        assert got[i] == (e, e), (i, got[i])
+    assert got[6] == (None, None)
+    # documented divergence: numeric charref decodes only on the exact path
+    num = spark.createDataFrame([(1, b"x &#233; y")], "id long, html binary")
+    r = num.select(
+        extract_text_col(F.col("html")).alias("fast"),
+        extract_text_udf(F.col("html")).alias("exact"),
+    ).first()
+    assert r["fast"] == "x &#233; y" and r["exact"] == "x \xe9 y"
+
+
+def test_canonicalize_url_cases(spark):
+    from pprl_spark.spark.webtext import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    cases = [
+        # (input, canonical)
+        ("https://Example.COM:443/a/b?utm_source=x&b=2&a=1#frag",
+         "https://example.com/a/b?a=1&b=2"),
+        ("HTTP://HOST:80", "http://host"),
+        ("http://host:80/", "http://host"),
+        ("http://site.co.uk:8080/path", "http://site.co.uk:8080/path"),
+        ("https://h/?fbclid=abc", "https://h"),
+        ("https://h/p?z=1&y=2&z=0", "https://h/p?y=2&z=0&z=1"),
+        ("not a url", "not a url"),           # pass-through, never NULL
+        ("ftp://h/p", "ftp://h/p"),           # non-http(s) pass-through
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [e for _, e in cases]
+
+    hosts = spark.createDataFrame(
+        [("https://www.blog.example.org/x",)], "url string"
+    ).select(
+        url_host(F.col("url")).alias("h"),
+        registered_domain(F.col("url")).alias("d"),
+    ).first()
+    assert hosts["h"] == "www.blog.example.org"
+    assert hosts["d"] == "example.org"
+
+
+def test_canonicalize_url_is_dedup_stable(spark):
+    """Tracking-parameter and ordering variants of the same page map to
+    ONE canonical key (the dedup/join-key contract)."""
+    from pprl_spark.spark.webtext import canonicalize_url
+
+    variants = [
+        "https://example.com/article?id=7&utm_source=tw",
+        "https://EXAMPLE.com:443/article?id=7",
+        "https://example.com/article?utm_medium=m&id=7#top",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    keys = {r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()}
+    assert keys == {"https://example.com/article?id=7"}
+
+
+def test_extract_text_col_is_pure_catalyst(spark):
+    """The fast path must stay JVM-side: no Python eval nodes in the
+    plan (the 100 TB contract of the module)."""
+    from pprl_spark.fixtures import make_pages
+    from pprl_spark.spark.webtext import canonicalize_url, extract_text_col
+
+    pages = make_pages(spark, 10, partitions=2)
+    plan = (
+        pages.select(
+            extract_text_col(F.col("html")).alias("t"),
+            canonicalize_url(F.col("url")).alias("c"),
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
