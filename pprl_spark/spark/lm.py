@@ -34,10 +34,11 @@ Spark-first shape — no Python in any hot path:
   tiny relative to the corpus.  The backoff cascade itself is a single
   Catalyst CASE expression; the per-document reduce is a hash agg.
 
-At 10^12 pages the counts frame for order 3 is itself web-scale; the
-gram strings can be replaced by 64-bit hashes (halves shuffle width,
-negligible count-merge collisions) — kept off by default so estimates
-stay exact and SQL-oracle-checkable.
+At 10^12 pages the counts frame for order 3 is itself web-scale;
+``hash_grams=True`` replaces gram strings with level-salted 64-bit
+hashes in every aggregation and join key (~3× narrower shuffles,
+negligible count-merge collisions — see :func:`_gram_key`), off by
+default so estimates stay exact and SQL-oracle-checkable.
 
 No reference counterpart: ul-mds/pprl has no language-model scoring;
 this extends the curation family (quality.py, decontaminate.py).
@@ -108,11 +109,24 @@ def _gram(cols: list[Column]) -> Column:
     return F.when(cols[0].isNotNull(), F.concat_ws(" ", *cols))
 
 
+def _gram_key(k: int, gram: Column, hash_grams: bool) -> Column:
+    """Join/aggregation key for a k-gram: the gram string, or its
+    64-bit xxhash (level-salted so a unigram and a bigram can never
+    collide by value).  Hashing happens map-side, so every count
+    aggregation and scoring shuffle carries 8-byte keys instead of gram
+    strings (~3× narrower at order 3); the cost is a vanishing
+    count-merge collision probability (~|grams|²/2⁶⁵ — ≈0.003 expected
+    collisions at 10M grams), which moves single estimates by at most
+    one backoff level."""
+    return F.xxhash64(F.lit(k), gram) if hash_grams else gram
+
+
 def train_stupid_backoff(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     order: int = 3,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Count all 1..order grams of the corpus in one explode pass.
 
@@ -121,27 +135,38 @@ def train_stupid_backoff(
     ``(0, '', N)`` carrying the total token count.  The result is
     materialized (lazy ``localCheckpoint``): scoring consumes it once
     per backoff level and must not re-count the corpus per join.
+
+    ``hash_grams=True`` is the 100 TB shuffle-width knob: the ``gram``
+    column becomes ``gram_hash`` (LONG, see :func:`_gram_key`), every
+    exchange in training and scoring carries 8-byte keys, and scoring
+    auto-detects the keyed form.  Estimates are then approximate to the
+    (negligible) 64-bit collision rate, not SQL-oracle-exact, and the
+    counts cannot feed the streaming scorer's string-keyed dict.
     """
     if order < 2:
         raise ValueError(f"order must be >= 2 (got {order})")
     pos = _token_positions(df, id_col, text_col, order)
     w = [F.col(f"w{k}") for k in range(order)]
+    gcol = "gram_hash" if hash_grams else "gram"
     parts = [
         pos.agg(
             F.lit(TOTAL_MARKER).alias("n"),
-            F.lit("").alias("gram"),
+            (F.lit(0).cast("long") if hash_grams else F.lit("")).alias(gcol),
             F.count(F.lit(1)).alias("cnt"),
         ),
-        pos.groupBy(w[0].alias("gram")).agg(F.count(F.lit(1)).alias("cnt"))
-            .select(F.lit(1).alias("n"), "gram", "cnt"),
+        pos.groupBy(_gram_key(1, w[0], hash_grams).alias(gcol))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(1).alias("n"), gcol, "cnt"),
     ]
     for k in range(2, order + 1):
         # k-gram ending at i exists iff the farthest word w{k-1} does
         parts.append(
             pos.filter(w[k - 1].isNotNull())
-            .groupBy(_gram(w[k - 1 :: -1]).alias("gram"))
+            .groupBy(
+                _gram_key(k, _gram(w[k - 1 :: -1]), hash_grams).alias(gcol)
+            )
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(F.lit(k).alias("n"), "gram", "cnt")
+            .select(F.lit(k).alias("n"), gcol, "cnt")
         )
     counts = parts[0]
     for p in parts[1:]:
@@ -174,44 +199,47 @@ def stupid_backoff_scores(
     """
     if order < 2:
         raise ValueError(f"order must be >= 2 (got {order})")
+    hashed = "gram_hash" in counts.columns
+    gcol = "gram_hash" if hashed else "gram"
     pos = _token_positions(df, id_col, text_col, order)
     w = [F.col(f"w{k}") for k in range(order)]
 
     def _level(n: int) -> DataFrame:
         lvl = counts.filter(F.col("n") == n).select(
-            F.col("gram").alias(f"__g{n}"), F.col("cnt").alias(f"__c{n}")
+            F.col(gcol).alias(f"__g{n}"), F.col("cnt").alias(f"__c{n}")
         )
         return F.broadcast(lvl) if n == 1 and broadcast_unigrams else lvl
 
     uni = _level(1)
-    scored = pos.join(uni, w[0] == F.col("__g1"), "left").withColumnRenamed(
-        "__c1", "__cnt1"
-    ).drop("__g1")
+    scored = pos.join(
+        uni, _gram_key(1, w[0], hashed) == F.col("__g1"), "left"
+    ).withColumnRenamed("__c1", "__cnt1").drop("__g1")
     # previous-word unigram count = context of the bigram level
-    ctx1 = (
-        F.broadcast(
-            counts.filter(F.col("n") == 1).select(
-                F.col("gram").alias("__gp"), F.col("cnt").alias("__ctx2")
-            )
-        )
-        if broadcast_unigrams
-        else counts.filter(F.col("n") == 1).select(
-            F.col("gram").alias("__gp"), F.col("cnt").alias("__ctx2")
-        )
+    ctx1 = counts.filter(F.col("n") == 1).select(
+        F.col(gcol).alias("__gp"), F.col("cnt").alias("__ctx2")
     )
-    scored = scored.join(ctx1, w[1] == F.col("__gp"), "left").drop("__gp")
+    if broadcast_unigrams:
+        ctx1 = F.broadcast(ctx1)
+    scored = scored.join(
+        ctx1, _gram_key(1, w[1], hashed) == F.col("__gp"), "left"
+    ).drop("__gp")
     for k in range(2, order + 1):
         lvl = _level(k)
         scored = scored.join(
-            lvl, _gram(w[k - 1 :: -1]) == F.col(f"__g{k}"), "left"
+            lvl,
+            _gram_key(k, _gram(w[k - 1 :: -1]), hashed) == F.col(f"__g{k}"),
+            "left",
         ).withColumnRenamed(f"__c{k}", f"__cnt{k}").drop(f"__g{k}")
         if k >= 3:
             # context count of level k = (k-1)-gram ending at i-1
             ctx = counts.filter(F.col("n") == k - 1).select(
-                F.col("gram").alias("__gc"), F.col("cnt").alias(f"__ctx{k}")
+                F.col(gcol).alias("__gc"), F.col("cnt").alias(f"__ctx{k}")
             )
             scored = scored.join(
-                ctx, _gram(w[k - 1 : 0 : -1]) == F.col("__gc"), "left"
+                ctx,
+                _gram_key(k - 1, _gram(w[k - 1 : 0 : -1]), hashed)
+                == F.col("__gc"),
+                "left",
             ).drop("__gc")
     total = counts.filter(F.col("n") == TOTAL_MARKER).select(
         F.col("cnt").cast("double").alias("__N")
@@ -280,6 +308,12 @@ def counts_to_local(counts: DataFrame) -> dict:
     rails: collect only counts frames you have pruned (e.g.
     ``counts.filter("cnt >= k OR n <= 1")``) when the training corpus is
     large."""
+    if "gram_hash" in counts.columns:
+        raise ValueError(
+            "hash_grams counts are LONG-keyed and cannot feed the "
+            "string-keyed streaming scorer; train with hash_grams=False "
+            "for streaming deployment"
+        )
     local: dict = {}
     for row in counts.collect():
         if row.n == TOTAL_MARKER:

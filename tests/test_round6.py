@@ -1624,3 +1624,32 @@ def test_extract_text_col_is_pure_catalyst(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_lm_hash_grams_agreement(spark):
+    """hash_grams=True (64-bit gram keys, the 100 TB shuffle-width
+    knob) produces identical scores to the exact string-keyed path on a
+    collision-free corpus, and its counts refuse the streaming
+    collector."""
+    from pprl_spark.spark.lm import (
+        counts_to_local,
+        score_documents,
+        train_stupid_backoff,
+    )
+
+    df = _lm_df(spark)
+    train = df.filter("doc_id % 2 = 0")
+    exact = {
+        r.doc_id: (r.n_tokens, r.avg_logprob, r.perplexity)
+        for r in score_documents(df, train_stupid_backoff(train)).collect()
+    }
+    hcounts = train_stupid_backoff(train, hash_grams=True)
+    assert "gram_hash" in hcounts.columns and "gram" not in hcounts.columns
+    assert dict(hcounts.schema["gram_hash"].jsonValue().items())["type"] == "long"
+    hashed = {
+        r.doc_id: (r.n_tokens, r.avg_logprob, r.perplexity)
+        for r in score_documents(df, hcounts).collect()
+    }
+    assert hashed == exact
+    with pytest.raises(ValueError, match="hash_grams"):
+        counts_to_local(hcounts)

@@ -7,7 +7,9 @@ counts, then perplexity-scores the whole corpus through the join
 cascade.  Reports walls + token throughput and the same-window CPU
 control (see BENCH.md noise protocol).
 
-Usage: python tools/bench_lm.py [n_pages] [master]
+Usage: python tools/bench_lm.py [n_pages] [master] [hash]
+(third arg "hash" trains/scores with hash_grams=True — the 64-bit
+shuffle-width knob — for an A/B against the exact string-keyed path)
 """
 import json
 import sys
@@ -21,6 +23,7 @@ from bench import _burn_throughput  # same-window CPU control
 N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
 MASTER = sys.argv[2] if len(sys.argv) > 2 else "local[32]"
 CORES = int(MASTER.split("[")[1].rstrip("]")) if "[" in MASTER else 32
+HASH_GRAMS = len(sys.argv) > 3 and sys.argv[3] == "hash"
 
 
 def main() -> None:
@@ -44,7 +47,7 @@ def main() -> None:
     ).first()["n"]
 
     t0 = time.time()
-    counts = train_stupid_backoff(docs)
+    counts = train_stupid_backoff(docs, hash_grams=HASH_GRAMS)
     n_grams = counts.count()  # forces the localCheckpoint materialization
     train_s = time.time() - t0
 
@@ -70,6 +73,7 @@ def main() -> None:
                 "scored_docs": int(agg["docs"]),
                 "avg_perplexity": round(float(agg["avg_px"]), 2),
                 "master": MASTER,
+                "hash_grams": HASH_GRAMS,
                 "cpu_control_mhash_per_core": control,
             }
         )
