@@ -1653,3 +1653,69 @@ def test_lm_hash_grams_agreement(spark):
     assert hashed == exact
     with pytest.raises(ValueError, match="hash_grams"):
         counts_to_local(hcounts)
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample (round-5 addition)
+# ---------------------------------------------------------------------------
+
+
+def _naive_stratified(rows, k, salt=""):
+    """Reference: rank by (md5-lane, key-string) within group, keep <=k."""
+    import hashlib
+
+    def lane(key):
+        h = hashlib.md5((salt + str(key)).encode()).hexdigest()[:8]
+        return int(h, 16) % 2_147_483_647
+
+    out = {}
+    bygrp = {}
+    for g, key in rows:
+        bygrp.setdefault(g, []).append(key)
+    for g, keys in bygrp.items():
+        ordered = sorted(keys, key=lambda x: (lane(x), str(x)))
+        out[g] = {key: i + 1 for i, key in enumerate(ordered[:k])}
+    return out
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    from pprl_spark.spark.sampling import stratified_sample
+
+    rows = [(f"g{i % 3}", i) for i in range(200)] + [("tiny", 999)]
+    df = spark.createDataFrame(rows, "grp string, doc_id long")
+    exp = _naive_stratified(rows, k=7)
+    for parts in (1, 5):
+        got = {}
+        res = stratified_sample(df.repartition(parts), "grp", "doc_id", k=7)
+        for r in res.collect():
+            got.setdefault(r["grp"], {})[r["doc_id"]] = r["sample_rank"]
+        assert got == exp, parts
+    # tiny group: min(k, n) rows survive
+    assert len(exp["tiny"]) == 1
+
+
+def test_stratified_sample_shortfall_fallback(spark):
+    """With a sabotaged margin the candidate pre-filter undersamples;
+    the fallback window must still return the EXACT top-k."""
+    from pprl_spark.spark.sampling import stratified_sample
+
+    rows = [(f"g{i % 2}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, doc_id long")
+    exp = _naive_stratified(rows, k=10)
+    got = {}
+    res = stratified_sample(df, "grp", "doc_id", k=10, _margin=0.01)
+    for r in res.collect():
+        got.setdefault(r["grp"], {})[r["doc_id"]] = r["sample_rank"]
+    assert got == exp
+
+
+def test_stratified_sample_null_policy_and_validation(spark):
+    from pprl_spark.spark.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("a", None)], "grp string, doc_id long"
+    )
+    out = stratified_sample(df, "grp", "doc_id", k=5).collect()
+    assert [(r["grp"], r["doc_id"]) for r in out] == [("a", 1)]
+    with pytest.raises(ValueError, match="k must be positive"):
+        stratified_sample(df, "grp", "doc_id", k=0)
