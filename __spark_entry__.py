@@ -309,6 +309,12 @@ def dedup_exact(spark, sf_dir):
 
 
 def text_quality(spark, sf_dir):
+    """Merged r5 row (= r4's `text_quality` + the new PII redaction op):
+    the original per-doc quality signals plus `n_pii` / `redacted_fp`
+    over a deterministically PII-augmented text (the raw corpus carries
+    no emails/IPs, so the augmentation is what makes the redaction check
+    non-trivial — each row plants one email, one IPv4, one phone)."""
+    from pprl_spark.spark.pii import pii_count_cols, redact_pii_col
     from pprl_spark.spark.textstats import (
         bpe_ish_token_count,
         punct_ratio,
@@ -317,12 +323,26 @@ def text_quality(spark, sf_dir):
     )
 
     docs = _load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or call 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    counts = pii_count_cols(aug)
+    n_pii = None
+    for c in counts.values():
+        n_pii = c if n_pii is None else (n_pii + c)
     return docs.select(
         "doc_id",
         whitespace_token_count(F.col("text")).alias("n_tokens_ws"),
         bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
         F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
         F.round(quality_score(F.col("text")), 6).alias("quality"),
+        n_pii.cast("long").alias("n_pii"),
+        F.md5(redact_pii_col(aug)).alias("redacted_fp"),
     )
 
 
@@ -331,10 +351,34 @@ def fingerprint_jaccard(spark, sf_dir):
     a driver slot for `lm_perplexity`): whitespace-normalized MD5 content
     fingerprint per document LEFT JOINed with the 3-gram Jaccard similarity
     to the next doc_id (the last document gets sentinel -1.0 — NULL-free
-    per the driver comparator's NaN rule)."""
+    per the driver comparator's NaN rule).
+
+    r5 merge #2: + boilerplate line removal (webtext.py) over a
+    deterministically line-augmented text — the corpus is single-line, so
+    each doc gets a footer shared by 1/3 of docs (banned: fraction ≥ 0.25),
+    a badge shared by 1% (kept: below the fraction gate), and a notice in
+    every doc (banned) — `clean_fp`/`n_lines_removed` check counting,
+    thresholding, and byte-exact text reassembly."""
     from pprl_spark.spark.dedup import ngram_jaccard, qgram_tokens
+    from pprl_spark.spark.webtext import remove_boilerplate_lines
 
     docs = _load(spark, sf_dir, "documents")
+    aug_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSHARED FOOTER "), (F.col("doc_id") % 3).cast("string"),
+            F.lit("\nRARE BADGE "), (F.col("doc_id") % 100).cast("string"),
+            F.lit("\nCopyright notice"),
+        ).alias("text"),
+    )
+    clean = remove_boilerplate_lines(
+        aug_docs, min_docs=2, min_doc_fraction=0.25
+    ).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("clean_fp"),
+        F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
+    )
     normalized = F.concat_ws(
         " ", F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
     )
@@ -351,10 +395,16 @@ def fingerprint_jaccard(spark, sf_dir):
         "doc_id",
         F.round(ngram_jaccard(F.col("toks_a"), F.col("toks_b")), 6).alias("next_jaccard"),
     )
-    return fp.join(jac, "doc_id", "left").select(
-        "doc_id",
-        "fingerprint",
-        F.coalesce("next_jaccard", F.lit(-1.0)).alias("next_jaccard"),
+    return (
+        fp.join(jac, "doc_id", "left")
+        .join(clean, "doc_id")
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.coalesce("next_jaccard", F.lit(-1.0)).alias("next_jaccard"),
+            "clean_fp",
+            "n_lines_removed",
+        )
     )
 
 
@@ -2824,7 +2874,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY text
         """,
+        # r5 merge: + PII redaction (sequential kind order email → ipv4 →
+        # ssn → phone, counts taken on the already-redacted text — mirrors
+        # pprl_spark/spark/pii.py; the same pattern strings run under both
+        # Java regex and RE2, pinned by tests/test_round6.py)
         "text_quality": r"""
+            WITH aug AS (
+              SELECT doc_id, text,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR)
+                          || '.7 or call 555-123-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS a
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, text,
+                     length(regexp_extract_all(a, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9](?:[A-Za-z0-9\-]*[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9\-]*[A-Za-z0-9])?)*\.[A-Za-z]{2,}')) AS c1,
+                     regexp_replace(a, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9](?:[A-Za-z0-9\-]*[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9\-]*[A-Za-z0-9])?)*\.[A-Za-z]{2,}', '<email>', 'g') AS a1
+              FROM aug
+            ), s2 AS (
+              SELECT doc_id, text, c1,
+                     length(regexp_extract_all(a1, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS c2,
+                     regexp_replace(a1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<ipv4>', 'g') AS a2
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, text, c1, c2,
+                     length(regexp_extract_all(a2, '\b\d{3}-\d{2}-\d{4}\b')) AS c3,
+                     regexp_replace(a2, '\b\d{3}-\d{2}-\d{4}\b', '<ssn>', 'g') AS a3
+              FROM s2
+            ), s4 AS (
+              SELECT doc_id, text, c1, c2, c3,
+                     length(regexp_extract_all(a3, '(?:\+?1[-. ])?\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b')) AS c4,
+                     regexp_replace(a3, '(?:\+?1[-. ])?\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b', '<phone>', 'g') AS a4
+              FROM s3
+            )
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
@@ -2837,9 +2920,14 @@ def oracle_sql() -> dict[str, str]:
                         + (CASE WHEN length(text)::DOUBLE / greatest(
                                   CASE WHEN trim(text) = '' THEN 0
                                        ELSE length(regexp_split_to_array(trim(text), '\s+')) END, 1)
-                                BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
-            FROM documents
+                                BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality,
+                   c1 + c2 + c3 + c4 AS n_pii,
+                   md5(a4) AS redacted_fp
+            FROM s4
         """,
+        # r5 merge #2: + boilerplate removal — ban non-empty lines present
+        # (distinct-per-doc) in >= 2 docs AND >= 0.25 of all docs, keep
+        # empties, reassemble with newline (mirrors webtext.py semantics)
         "fingerprint_jaccard": r"""
             WITH toks AS (
               SELECT doc_id,
@@ -2851,12 +2939,42 @@ def oracle_sql() -> dict[str, str]:
                      round(length(list_intersect(a.t, b.t))::DOUBLE
                            / length(list_distinct(list_concat(a.t, b.t))), 6) AS next_jaccard
               FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+            ), aug AS (
+              SELECT doc_id,
+                     text || chr(10) || 'SHARED FOOTER ' || CAST(doc_id % 3 AS VARCHAR)
+                          || chr(10) || 'RARE BADGE ' || CAST(doc_id % 100 AS VARCHAR)
+                          || chr(10) || 'Copyright notice' AS t
+              FROM documents
+            ), dl AS (
+              SELECT DISTINCT doc_id, unnest(string_split(t, chr(10))) AS l FROM aug
+            ), banned AS (
+              SELECT list(l) AS bl FROM (
+                SELECT l FROM dl WHERE trim(l) <> '' GROUP BY l
+                HAVING count(*) >= 2
+                   AND count(*) >= 0.25 * (SELECT count(*) FROM documents)
+              )
+            ), clean AS (
+              SELECT a.doc_id,
+                     md5(array_to_string(
+                       list_filter(string_split(a.t, chr(10)),
+                                   l -> trim(l) = ''
+                                        OR NOT list_contains(coalesce(b.bl, []), l)),
+                       chr(10))) AS clean_fp,
+                     length(string_split(a.t, chr(10)))
+                       - length(list_filter(string_split(a.t, chr(10)),
+                                l -> trim(l) = ''
+                                     OR NOT list_contains(coalesce(b.bl, []), l)))
+                       AS n_lines_removed
+              FROM aug a CROSS JOIN banned b
             )
             SELECT d.doc_id,
                    md5(array_to_string(list_filter(regexp_split_to_array(d.text, '\s+'),
                                                    w -> w <> ''), ' ')) AS fingerprint,
-                   coalesce(j.next_jaccard, -1.0) AS next_jaccard
+                   coalesce(j.next_jaccard, -1.0) AS next_jaccard,
+                   c.clean_fp,
+                   c.n_lines_removed
             FROM documents d LEFT JOIN jac j ON j.doc_id = d.doc_id
+            JOIN clean c ON c.doc_id = d.doc_id
         """,
         # Stupid Backoff (Brants et al. 2007): S(w|ctx) = c(ctx,w)/c(ctx)
         # if seen else 0.4*S(w|shorter ctx); unigram floor max(c(w),1)/N.

@@ -25,6 +25,13 @@ Stage graph (each a parquet checkpoint with lineage + metrics):
                (spark/packing.assign_shards, distributed prefix sum) —
                the final write layout for training
 
+Optional stages: ``--lm-max-perplexity`` inserts a CCNet-style Stupid
+Backoff LM gate after stats; ``--boilerplate-min-doc-fraction`` inserts
+a RefinedWeb-style repeated-line removal stage before dedup (boilerplate
+would otherwise glue unrelated pages into near-dup clusters);
+``--redact`` appends a PII scrub of the canonical documents (last, so
+counts describe the text that actually ships).
+
 Re-running with the same workdir resumes from completed stages; changing
 a stage's config (e.g. the Jaccard threshold) invalidates it and every
 downstream stage via the lineage fingerprint.
@@ -45,17 +52,24 @@ from pyspark.sql import functions as F
 def build_stages(docs_path: str, q: int, threshold: float, min_quality: float,
                  shard_budget: int = 2000,
                  lm_max_perplexity: float | None = None,
-                 lm_train_path: str | None = None, lm_order: int = 3):
+                 lm_train_path: str | None = None, lm_order: int = 3,
+                 boilerplate_min_doc_fraction: float | None = None,
+                 redact: bool = False):
     from pprl_spark.spark.dedup import jaccard_verify, minhash_lsh_pairs
     from pprl_spark.spark.graph import assign_components
     from pprl_spark.spark.lm import score_documents, train_stupid_backoff
     from pprl_spark.spark.packing import assign_shards
     from pprl_spark.spark.pipeline import Stage
     from pprl_spark.spark.quality import FilterRules, filter_documents
+    from pprl_spark.spark.textstats import whitespace_token_count
 
     # when the CCNet-style LM stage is enabled, everything downstream of
-    # the quality filter consumes its survivors instead of stats's
+    # the quality filter consumes its survivors instead of stats's; the
+    # RefinedWeb-style boilerplate stage (when enabled) rewrites text
+    # after that and becomes the upstream of dedup/shards
     upstream = "lm" if lm_max_perplexity is not None else "stats"
+    if boilerplate_min_doc_fraction is not None:
+        text_upstream, upstream = upstream, "boiler"
 
     def stats(spark, inputs):
         docs = spark.read.parquet(docs_path).select("doc_id", "text")
@@ -84,6 +98,19 @@ def build_stages(docs_path: str, q: int, threshold: float, min_quality: float,
             & (F.col("perplexity") <= lm_max_perplexity)
         ).select("doc_id", "perplexity")
         return kept.join(ok, "doc_id")
+
+    def boiler(spark, inputs):
+        # corpus-level boilerplate line removal before dedup (RefinedWeb
+        # order: site boilerplate would otherwise glue unrelated pages
+        # into near-dup clusters); n_tokens is recomputed because the
+        # shard budget must count the text that actually ships
+        from pprl_spark.spark.webtext import remove_boilerplate_lines
+
+        kept = inputs[text_upstream]
+        return remove_boilerplate_lines(
+            kept, min_docs=2,
+            min_doc_fraction=boilerplate_min_doc_fraction,
+        ).withColumn("n_tokens", whitespace_token_count(F.col("text")))
 
     def pairs(spark, inputs):
         docs = inputs[upstream].select("doc_id", "text")
@@ -119,6 +146,16 @@ def build_stages(docs_path: str, q: int, threshold: float, min_quality: float,
         kept = docs.join(keep, "doc_id")
         return assign_shards(kept, "doc_id", "n_tokens", budget=shard_budget)
 
+    def redact_stage(spark, inputs):
+        # PII scrub of the canonical (shipping) documents — last, so the
+        # per-kind counts describe exactly the text that leaves the
+        # pipeline, and redaction can't perturb dedup similarity
+        from pprl_spark.spark.pii import redact_pii
+
+        keep = inputs["canonical"].where(F.col("is_canonical")).select("doc_id")
+        docs = inputs[upstream].select("doc_id", "text").join(keep, "doc_id")
+        return redact_pii(docs)
+
     stages = [
         Stage("stats", stats, config={"docs": docs_path,
                                       "min_quality": min_quality}),
@@ -130,6 +167,12 @@ def build_stages(docs_path: str, q: int, threshold: float, min_quality: float,
                           "train": lm_train_path or "<self>",
                           "order": lm_order}),
         )
+    if boilerplate_min_doc_fraction is not None:
+        stages.append(
+            Stage("boiler", boiler, inputs=(text_upstream,),
+                  config={"min_docs": 2,
+                          "min_doc_fraction": boilerplate_min_doc_fraction}),
+        )
     stages += [
         Stage("pairs", pairs, inputs=(upstream,),
               config={"q": q, "threshold": threshold,
@@ -139,6 +182,11 @@ def build_stages(docs_path: str, q: int, threshold: float, min_quality: float,
         Stage("shards", shards, inputs=(upstream, "canonical"),
               config={"budget": shard_budget}),
     ]
+    if redact:
+        stages.append(
+            Stage("redact", redact_stage, inputs=(upstream, "canonical"),
+                  config={"kinds": "all"}),
+        )
     return stages
 
 
@@ -157,6 +205,12 @@ def main() -> None:
                     help="trusted-corpus parquet to train the LM on "
                     "(default: the quality-filtered corpus itself)")
     ap.add_argument("--lm-order", type=int, default=3)
+    ap.add_argument("--boilerplate-min-doc-fraction", type=float, default=None,
+                    help="enable the RefinedWeb-style boilerplate line "
+                    "removal stage before dedup at this spread threshold")
+    ap.add_argument("--redact", action="store_true",
+                    help="add a final PII-redaction stage over the "
+                    "canonical documents")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -169,7 +223,10 @@ def main() -> None:
         build_stages(args.docs, args.q, args.threshold, args.min_quality,
                      shard_budget=args.shard_budget,
                      lm_max_perplexity=args.lm_max_perplexity,
-                     lm_train_path=args.lm_train, lm_order=args.lm_order),
+                     lm_train_path=args.lm_train, lm_order=args.lm_order,
+                     boilerplate_min_doc_fraction=(
+                         args.boilerplate_min_doc_fraction),
+                     redact=args.redact),
     )
     results = pipeline.run()
     canon = results["canonical"]

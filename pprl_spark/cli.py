@@ -334,6 +334,88 @@ def _cmd_lm_score(args, spark) -> None:
     _write_single_csv(out.orderBy("doc_id"), args.output)
 
 
+def _read_table(args, spark):
+    """Generic table read (parquet dir/file or headered CSV) keeping all
+    columns — for commands that operate on arbitrary key/group columns.
+    CSV reads use multiLine (quoted embedded newlines — text corpora need
+    them); that makes the CSV unsplittable, which is fine for the CLI's
+    small-file path — parquet is the bulk path."""
+    if args.input.endswith(".parquet") or os.path.isdir(args.input):
+        return spark.read.parquet(args.input)
+    return spark.read.csv(args.input, header=True, multiLine=True, escape='"')
+
+
+def _cmd_sample(args, spark) -> None:
+    """Beyond-reference: deterministic content-keyed sampling — either
+    exactly k rows per group (stratified) or a hash-rate sample; both
+    survive recompute/repartition/retries (no RNG state)."""
+    from pyspark.sql import functions as F
+
+    from .spark.sampling import hash_sample, stratified_sample
+
+    df = _read_table(args, spark)
+    if args.key_column not in df.columns:
+        raise ValueError(
+            f"input needs `{args.key_column}` column (found {df.columns})"
+        )
+    if args.per_group:
+        if args.per_group not in df.columns:
+            raise ValueError(
+                f"input needs `{args.per_group}` column (found {df.columns})"
+            )
+        out = stratified_sample(
+            df, args.per_group, args.key_column, k=args.k, salt=args.salt
+        ).orderBy(args.per_group, "sample_rank")
+    else:
+        if args.rate is None:
+            raise ValueError("need --per-group GROUP (with -k) or --rate")
+        out = hash_sample(
+            df, args.key_column, args.rate, salt=args.salt
+        ).orderBy(F.col(args.key_column))
+    _write_single_csv(out, args.output)
+
+
+def _cmd_redact(args, spark) -> None:
+    """Beyond-reference: C4/Dolma-style PII scrub (emails, phones, IPv4,
+    SSN-shaped ids) → redacted text + per-kind counts."""
+    from .spark.pii import redact_pii
+
+    docs = _read_docs(args, spark)
+    out = redact_pii(docs, kinds=args.kind or None, fmt=args.token_format)
+    _write_single_csv(out.orderBy("doc_id"), args.output)
+
+
+def _cmd_boilerplate(args, spark) -> None:
+    """Beyond-reference: RefinedWeb/CCNet-style boilerplate line removal
+    (lines repeated across ≥ min-docs and ≥ min-doc-fraction of a
+    domain's documents are dropped)."""
+    from pyspark.sql import functions as F
+
+    from .spark.webtext import remove_boilerplate_lines
+
+    df = _read_table(args, spark)
+    for col in (args.id_column, args.text_column):
+        if col not in df.columns:
+            raise ValueError(f"input needs `{col}` column (found {df.columns})")
+    if args.domain_column and args.domain_column not in df.columns:
+        raise ValueError(
+            f"input needs `{args.domain_column}` column (found {df.columns})"
+        )
+    docs = df.select(
+        F.col(args.id_column).cast("long").alias("doc_id"),
+        F.col(args.text_column).alias("text"),
+        *([F.col(args.domain_column).alias("domain")]
+          if args.domain_column else []),
+    )
+    out = remove_boilerplate_lines(
+        docs,
+        domain_col="domain" if args.domain_column else None,
+        min_docs=args.min_docs,
+        min_doc_fraction=args.min_doc_fraction,
+    )
+    _write_single_csv(out.orderBy("doc_id"), args.output)
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="pprl_spark", description="PySpark-native PPRL engine CLI"
@@ -452,6 +534,58 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-perplexity", type=float, default=None,
                    help="emit a keep column thresholded at this perplexity")
     p.set_defaults(fn=_cmd_lm_score)
+
+    p = sub.add_parser(
+        "sample",
+        help="deterministic content-keyed sampling (k per group, or a "
+             "hash-rate sample) → CSV; beyond the reference surface",
+    )
+    p.add_argument("input", help="parquet path/dir or CSV with header")
+    p.add_argument("output", help="output CSV path")
+    p.add_argument("--key-column", default="doc_id",
+                   help="content key the sample is keyed on")
+    p.add_argument("--per-group", default=None, metavar="COL",
+                   help="stratify: keep exactly k rows per value of COL")
+    p.add_argument("-k", type=int, default=100,
+                   help="rows per group (with --per-group)")
+    p.add_argument("--rate", type=float, default=None,
+                   help="hash-sample fraction in [0,1] (without --per-group)")
+    p.add_argument("--salt", default="",
+                   help="salt for an independent resample")
+    p.set_defaults(fn=_cmd_sample)
+
+    p = sub.add_parser(
+        "redact",
+        help="PII scrub (email/phone/IPv4/SSN) → redacted text + counts "
+             "CSV; beyond the reference surface",
+    )
+    p.add_argument("input", help="documents parquet path/dir or CSV with header")
+    p.add_argument("output", help="output CSV path")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--kind", action="append", default=None,
+                   help="PII kind to redact (repeatable); default all")
+    p.add_argument("--token-format", default="<{kind}>",
+                   help="replacement token, {kind} interpolated")
+    p.set_defaults(fn=_cmd_redact)
+
+    p = sub.add_parser(
+        "boilerplate",
+        help="drop lines repeated across a domain's documents "
+             "(nav/cookie-banner boilerplate) → CSV; beyond the "
+             "reference surface",
+    )
+    p.add_argument("input", help="parquet path/dir or CSV with header")
+    p.add_argument("output", help="output CSV path")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--domain-column", default=None,
+                   help="group documents by this column; omit = whole corpus")
+    p.add_argument("--min-docs", type=int, default=2,
+                   help="line must appear in at least this many documents")
+    p.add_argument("--min-doc-fraction", type=float, default=0.05,
+                   help="…and in at least this fraction of the group's docs")
+    p.set_defaults(fn=_cmd_boilerplate)
     return ap
 
 

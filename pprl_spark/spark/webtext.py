@@ -47,6 +47,8 @@ __all__ = [
     "canonicalize_url",
     "url_host",
     "registered_domain",
+    "boilerplate_line_stats",
+    "remove_boilerplate_lines",
 ]
 
 #: named entities the Catalyst fast path decodes; ``&amp;`` must come
@@ -180,3 +182,139 @@ def registered_domain(col: Column) -> Column:
     deployment substitutes a broadcast Public Suffix List lookup, same
     column contract)."""
     return F.regexp_extract(url_host(col), r"([^.]+\.[^.]+)$", 1)
+
+
+# ---------------------------------------------------------------------------
+# per-domain boilerplate line removal (RefinedWeb/CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def _nonempty_lines(text: Column) -> Column:
+    return F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
+
+
+def boilerplate_line_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: "str | None" = None,
+) -> DataFrame:
+    """Per-(domain, line) spread: how many of a domain's documents
+    contain each distinct non-empty line — the signal behind
+    navigation/cookie-banner boilerplate removal.  Returns
+    ``(domain, line_hash, n_docs, doc_fraction)``.
+
+    Scale shape: lines are ``array_distinct``-ed INSIDE each document
+    first (so ``count(*)`` == document count, no ``countDistinct``
+    shuffle), hashed map-side, and only slim ``(domain, hash)`` rows
+    reach the exchange — line text never shuffles.  The per-domain
+    document totals are a second tiny aggregate broadcast back.
+    """
+    dom = (
+        F.coalesce(F.col(domain_col), F.lit("")) if domain_col else F.lit("")
+    ).alias("domain")
+    per_doc = df.select(
+        dom,
+        F.explode(
+            F.array_distinct(_nonempty_lines(F.col(text_col)))
+        ).alias("__line"),
+    ).select("domain", F.xxhash64("__line").alias("line_hash"))
+    freq = per_doc.groupBy("domain", "line_hash").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = (
+        df.select(dom)
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("__total"))
+    )
+    return freq.join(F.broadcast(totals), "domain").select(
+        "domain",
+        "line_hash",
+        "n_docs",
+        (F.col("n_docs") / F.col("__total")).cast("double").alias("doc_fraction"),
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: "str | None" = None,
+    min_docs: int = 2,
+    min_doc_fraction: float = 0.05,
+    out_col: "str | None" = None,
+    max_banned_per_domain: int = 100_000,
+) -> DataFrame:
+    """Drop non-empty lines that occur in ≥ ``min_docs`` documents AND
+    ≥ ``min_doc_fraction`` of documents sharing ``domain_col`` (the
+    whole corpus when ``domain_col`` is None) — the RefinedWeb/CCNet
+    move that strips navigation menus, cookie banners, and footer
+    boilerplate repeated across a site.  Empty lines (paragraph
+    delimiters) are always kept; rewrites ``out_col`` (default: in
+    place) and appends ``n_lines_removed``.
+
+    Scale shape: the frequency pass shuffles only slim
+    ``(domain, line_hash)`` rows (:func:`boilerplate_line_stats`); the
+    banned set is folded to ONE row per domain (top
+    ``max_banned_per_domain`` by spread, deterministic ``(-n_docs,
+    line_hash)`` order — the cap bounds executor memory on adversarial
+    domains and is logged in the plan, not silent: capped domains
+    still remove their top-N worst offenders).  Documents then join
+    the banned row by a slim ``(id, domain)`` projection and the full
+    text rides only the final id-keyed join (uniform keys, never
+    domain-skewed), where the line filter runs map-side inside the
+    projection — exploded text never shuffles.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    out_col = out_col or text_col
+    stats = boilerplate_line_stats(df, id_col, text_col, domain_col)
+    banned = (
+        stats.where(
+            (F.col("n_docs") >= min_docs)
+            & (F.col("doc_fraction") >= min_doc_fraction)
+        )
+        .groupBy("domain")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("n_docs")).alias("neg"),
+                                F.col("line_hash").alias("h"),
+                            )
+                        )
+                    ),
+                    lambda s: s["h"],
+                ),
+                1,
+                max_banned_per_domain,
+            ).alias("__banned")
+        )
+    )
+    dom = (
+        F.coalesce(F.col(domain_col), F.lit("")) if domain_col else F.lit("")
+    ).alias("domain")
+    slim = (
+        df.select(F.col(id_col), dom)
+        .join(banned, "domain", "left")
+        .select(id_col, "__banned")
+    )
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(
+        lines,
+        lambda l: (F.trim(l) == "")
+        | ~F.array_contains(
+            F.coalesce(F.col("__banned"), F.array().cast("array<bigint>")),
+            F.xxhash64(l),
+        ),
+    )
+    return (
+        df.join(slim, id_col)
+        .withColumn(
+            "n_lines_removed", (F.size(lines) - F.size(kept)).cast("int")
+        )
+        .withColumn(out_col, F.array_join(kept, "\n"))
+        .drop("__banned")
+    )

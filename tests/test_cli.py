@@ -188,3 +188,83 @@ def test_cli_quality_gopher_ngrams_flag(spark, tmp_path):
     assert rows["1"]["keep"] == "false"
     assert rows["1"]["reject_reason"].startswith("repetition_")
     assert rows["2"]["keep"] == "true"
+
+
+def test_cli_sample_stratified_and_rate(spark, tmp_path):
+    docs = tmp_path / "s.csv"
+    docs.write_text(
+        "doc_id,lang,text\n"
+        + "".join(f"{i},{'en' if i % 2 else 'de'},doc {i}\n" for i in range(40))
+    )
+    out = tmp_path / "strat.csv"
+    cli.main([
+        "sample", str(docs), str(out),
+        "--per-group", "lang", "-k", "3",
+    ])
+    rows = _read_csv(str(out))
+    bylang = {}
+    for r in rows:
+        bylang.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert bylang == {"de": ["1", "2", "3"], "en": ["1", "2", "3"]}
+
+    out2 = tmp_path / "rate.csv"
+    cli.main(["sample", str(docs), str(out2), "--rate", "0.5"])
+    n = len(_read_csv(str(out2)))
+    assert 0 < n < 40
+    # deterministic: same command, same rows
+    out3 = tmp_path / "rate2.csv"
+    cli.main(["sample", str(docs), str(out3), "--rate", "0.5"])
+    assert [r["doc_id"] for r in _read_csv(str(out3))] == [
+        r["doc_id"] for r in _read_csv(str(out2))
+    ]
+
+    with pytest.raises(ValueError, match="--per-group"):
+        cli.main(["sample", str(docs), str(tmp_path / "x.csv")])
+    with pytest.raises(ValueError, match="needs `missing`"):
+        cli.main(["sample", str(docs), str(tmp_path / "x.csv"),
+                  "--key-column", "missing", "--rate", "0.5"])
+
+
+def test_cli_redact(spark, tmp_path):
+    docs = tmp_path / "r.csv"
+    docs.write_text(
+        "doc_id,text\n"
+        "1,mail a@b.io or call 555-123-4567\n"
+        "2,host 10.0.0.1 ssn 123-45-6789\n"
+        "3,clean\n"
+    )
+    out = tmp_path / "red.csv"
+    cli.main(["redact", str(docs), str(out)])
+    rows = {r["doc_id"]: r for r in _read_csv(str(out))}
+    assert rows["1"]["text"] == "mail <email> or call <phone>"
+    assert rows["1"]["pii_email"] == "1" and rows["1"]["pii_phone"] == "1"
+    assert rows["2"]["text"] == "host <ipv4> ssn <ssn>"
+    assert rows["3"]["text"] == "clean"
+
+    only = tmp_path / "red2.csv"
+    cli.main(["redact", str(docs), str(only),
+              "--kind", "email", "--token-format", "[{kind}]"])
+    rows = {r["doc_id"]: r for r in _read_csv(str(only))}
+    assert rows["1"]["text"] == "mail [email] or call 555-123-4567"
+    assert "pii_phone" not in rows["1"]
+
+
+def test_cli_boilerplate(spark, tmp_path):
+    docs = tmp_path / "b.csv"
+    banner = "cookie banner line"
+    docs.write_text(
+        "doc_id,site,text\n"
+        f'1,a.com,"{banner}\nkeep one"\n'
+        f'2,a.com,"{banner}\nkeep two"\n'
+        "3,b.com,other\n"
+    )
+    out = tmp_path / "clean.csv"
+    cli.main([
+        "boilerplate", str(docs), str(out),
+        "--domain-column", "site", "--min-doc-fraction", "0.5",
+    ])
+    rows = {r["doc_id"]: r for r in _read_csv(str(out))}
+    assert rows["1"]["text"] == "keep one"
+    assert rows["2"]["text"] == "keep two"
+    assert rows["1"]["n_lines_removed"] == "1"
+    assert rows["3"]["text"] == "other"

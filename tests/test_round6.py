@@ -1719,3 +1719,268 @@ def test_stratified_sample_null_policy_and_validation(spark):
     assert [(r["grp"], r["doc_id"]) for r in out] == [("a", 1)]
     with pytest.raises(ValueError, match="k must be positive"):
         stratified_sample(df, "grp", "doc_id", k=0)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (round-5 addition)
+# ---------------------------------------------------------------------------
+
+_PII_CASES = [
+    "mail me at Jane.Doe+spam@sub.example.co.uk today",
+    "server at 192.168.0.1 and 10.0.0.255, port 8080",
+    "ssn 123-45-6789 but order 1234-56-789 stays",
+    "call (555) 123-4567 or 555-123-4567 or +1 555.123.4567",
+    "plain 5551234567 run must NOT be a phone",
+    "v1.2.3.4 looks dotted but has a word boundary issue",
+    "mixed: a@b.io then 8.8.8.8 then 111-22-3333 then 222-333-4444",
+    "no pii here at all",
+    "",
+]
+
+
+def test_redact_pii_known_strings(spark):
+    from pprl_spark.spark.pii import redact_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_PII_CASES)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[0]["text"] == "mail me at <email> today"
+    assert rows[0]["pii_email"] == 1
+    assert rows[1]["text"] == "server at <ipv4> and <ipv4>, port 8080"
+    assert rows[1]["pii_ipv4"] == 2
+    assert rows[2]["text"] == "ssn <ssn> but order 1234-56-789 stays"
+    assert rows[2]["pii_ssn"] == 1
+    assert rows[3]["pii_phone"] == 3
+    assert rows[3]["text"] == "call <phone> or <phone> or <phone>"
+    assert rows[4]["text"] == _PII_CASES[4]  # bare digit run untouched
+    m = rows[6]
+    assert (m["pii_email"], m["pii_ipv4"], m["pii_ssn"], m["pii_phone"]) == (
+        1, 1, 1, 1,
+    )
+    assert rows[7]["text"] == _PII_CASES[7]
+    # sequential semantics: counts sum to tokens present in the output
+    for r in rows.values():
+        toks = sum(
+            r["text"].count(f"<{k}>") for k in ("email", "ipv4", "ssn", "phone")
+        )
+        assert toks == (
+            r["pii_email"] + r["pii_ipv4"] + r["pii_ssn"] + r["pii_phone"]
+        )
+
+
+def test_redact_pii_duckdb_parity(spark):
+    """The module contract says the pattern strings behave identically
+    under Java regex and RE2 — pin it against DuckDB on tricky text."""
+    import duckdb
+
+    from pprl_spark.spark.pii import PII_PATTERNS, redact_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_PII_CASES)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["text"], r["pii_email"], r["pii_ipv4"], r["pii_ssn"], r["pii_phone"]
+        )
+        for r in redact_pii(df).collect()
+    }
+    con = duckdb.connect()
+    expr = "text"
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(
+            f"length(regexp_extract_all({expr}, '{pat}')) AS c_{kind}"
+        )
+        expr = f"regexp_replace({expr}, '{pat}', '<{kind}>', 'g')"
+    sql = (
+        f"SELECT doc_id, {expr} AS red, {', '.join(counts)} "
+        "FROM docs ORDER BY doc_id"
+    )
+    con.register(
+        "docs",
+        __import__("pandas").DataFrame(
+            {"doc_id": range(len(_PII_CASES)), "text": _PII_CASES}
+        ),
+    )
+    for doc_id, red, ce, ci, cs, cp in con.execute(sql).fetchall():
+        assert got[doc_id] == (red, ce, ci, cs, cp), doc_id
+
+
+def test_redact_pii_kinds_and_validation(spark):
+    from pprl_spark.spark.pii import redact_pii
+
+    df = spark.createDataFrame(
+        [(0, "a@b.io at 1.2.3.4")], "doc_id long, text string"
+    )
+    r = redact_pii(df, kinds=["ipv4"], out_col="red").collect()[0]
+    assert r["red"] == "a@b.io at <ipv4>"
+    assert r["text"] == "a@b.io at 1.2.3.4"  # out_col leaves source intact
+    assert "pii_email" not in r.asDict()
+    with pytest.raises(ValueError, match="unknown PII kind"):
+        redact_pii(df, kinds=["mac"])
+
+
+# ---------------------------------------------------------------------------
+# boilerplate line removal (round-5 addition)
+# ---------------------------------------------------------------------------
+
+
+def _boiler_corpus():
+    """Domain a: cookie banner in 3/4 docs; domain b: same line once."""
+    banner = "We use cookies | Accept"
+    nav = "Home > Products > About"
+    docs = [
+        (0, "a.com", f"{banner}\n{nav}\nunique zero\n\npara two"),
+        (1, "a.com", f"{banner}\nunique one"),
+        (2, "a.com", f"{nav}\n{banner}\nunique two"),
+        (3, "a.com", "only unique three"),
+        (4, "b.com", f"{banner}\nb unique"),
+        (5, "b.com", "b other"),
+    ]
+    return docs, banner, nav
+
+
+def _naive_boiler(docs, min_docs, min_frac, per_domain=True):
+    from collections import Counter, defaultdict
+
+    bydom = defaultdict(list)
+    for _, dom, text in docs:
+        bydom[dom if per_domain else ""].append(text)
+    banned = {}
+    for dom, texts in bydom.items():
+        c = Counter()
+        for t in texts:
+            c.update({l for l in t.split("\n") if l.strip()})
+        banned[dom] = {
+            l
+            for l, n in c.items()
+            if n >= min_docs and n / len(texts) >= min_frac
+        }
+    out = {}
+    for i, dom, text in docs:
+        b = banned[dom if per_domain else ""]
+        keep = [l for l in text.split("\n") if not l.strip() or l not in b]
+        out[i] = ("\n".join(keep), len(text.split("\n")) - len(keep))
+    return out
+
+
+def test_remove_boilerplate_per_domain(spark):
+    from pprl_spark.spark.webtext import remove_boilerplate_lines
+
+    docs, banner, nav = _boiler_corpus()
+    df = spark.createDataFrame(docs, "doc_id long, domain string, text string")
+    exp = _naive_boiler(docs, min_docs=2, min_frac=0.5)
+    for parts in (1, 4):
+        res = remove_boilerplate_lines(
+            df.repartition(parts), domain_col="domain",
+            min_docs=2, min_doc_fraction=0.5,
+        )
+        got = {
+            r["doc_id"]: (r["text"], r["n_lines_removed"])
+            for r in res.collect()
+        }
+        assert got == exp, parts
+    # banner hit 3/4 a.com docs -> removed there; 1/2 b.com docs -> kept
+    assert banner not in got[0][0] and banner in got[4][0]
+    # nav hit 2/4 -> removed; empty paragraph-delimiter line preserved
+    assert nav not in got[0][0] and "\n\n" in got[0][0]
+
+
+def test_remove_boilerplate_global_and_cap(spark):
+    from pprl_spark.spark.webtext import remove_boilerplate_lines
+
+    docs, banner, nav = _boiler_corpus()
+    df = spark.createDataFrame(docs, "doc_id long, domain string, text string")
+    exp = _naive_boiler(docs, min_docs=2, min_frac=0.5, per_domain=False)
+    res = remove_boilerplate_lines(df, min_docs=2, min_doc_fraction=0.5)
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_removed"]) for r in res.collect()
+    }
+    assert got == exp
+    # globally the banner spreads 4/6 (>=0.5) and nav only 2/6 (<0.5)
+    assert banner not in got[4][0] and nav in got[0][0]
+    # cap=1 keeps only the widest-spread line banned (banner, 4 docs)
+    capped = remove_boilerplate_lines(
+        df, min_docs=2, min_doc_fraction=0.3, max_banned_per_domain=1
+    )
+    crow = {r["doc_id"]: r["text"] for r in capped.collect()}
+    assert banner not in crow[0] and nav in crow[0]
+    with pytest.raises(ValueError, match="min_docs"):
+        remove_boilerplate_lines(df, min_docs=1)
+
+
+def test_boilerplate_line_stats(spark):
+    from pprl_spark.spark.webtext import boilerplate_line_stats
+
+    docs, banner, _ = _boiler_corpus()
+    df = spark.createDataFrame(docs, "doc_id long, domain string, text string")
+    stats = boilerplate_line_stats(df, domain_col="domain").collect()
+    import pyspark.sql.functions as F  # noqa: F401  (hash parity below)
+
+    by = {(r["domain"], r["line_hash"]): r for r in stats}
+    h = df.sparkSession.createDataFrame([(banner,)], "l string").select(
+        F.xxhash64("l")
+    ).collect()[0][0]
+    a, b = by[("a.com", h)], by[("b.com", h)]
+    assert (a["n_docs"], round(a["doc_fraction"], 6)) == (3, 0.75)
+    assert (b["n_docs"], round(b["doc_fraction"], 6)) == (1, 0.5)
+
+
+def test_dedup_job_boiler_and_redact_stages(spark, tmp_path):
+    """The staged curation job with the round-5 optional stages: a
+    boilerplate-removal stage rewrites text (and recomputes n_tokens)
+    before dedup, and a final redact stage ships PII-scrubbed canonical
+    docs."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "dedup_job",
+        pathlib.Path(__file__).resolve().parent.parent / "jobs" / "dedup_job.py",
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+    from pprl_spark.spark.pipeline import Pipeline
+
+    banner = "COOKIE BANNER ACCEPT ALL"
+    src = tmp_path / "docs.parquet"
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(30)
+    import pyspark.sql.functions as F
+
+    base.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            # the PII line carries doc_id so it is unique per doc — the
+            # boiler stage must NOT eat it before redact sees it
+            F.lit(f"\n{banner}\nwrite a@b.io or dial 555-123-4567 ref "),
+            F.col("doc_id").cast("string"),
+        ),
+    ).write.parquet(str(src))
+
+    stages = job.build_stages(str(src), q=5, threshold=0.8, min_quality=0.0,
+                              boilerplate_min_doc_fraction=0.5, redact=True)
+    assert [s.name for s in stages] == [
+        "stats", "boiler", "pairs", "components", "canonical",
+        "shards", "redact",
+    ]
+    results = Pipeline(spark, tmp_path / "wd", stages).run()
+    boiled = {r["doc_id"]: r for r in results["boiler"].collect()}
+    assert all(banner not in r["text"] for r in boiled.values())
+    assert all(r["n_lines_removed"] >= 1 for r in boiled.values())
+    # n_tokens recomputed on the cleaned text
+    some = next(iter(boiled.values()))
+    assert some["n_tokens"] == len(some["text"].split())
+
+    red = {r["doc_id"]: r for r in results["redact"].collect()}
+    canonical_ids = {
+        r["doc_id"] for r in results["canonical"].collect() if r["is_canonical"]
+    }
+    assert set(red) == canonical_ids
+    for r in red.values():
+        assert "<email>" in r["text"] and "<phone>" in r["text"]
+        assert r["pii_email"] >= 1 and r["pii_phone"] >= 1
+        assert "a@b.io" not in r["text"]
