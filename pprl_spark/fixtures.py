@@ -88,10 +88,19 @@ def page_row(i: int) -> dict:
     else:
         text = _text_for(i)
     lang = "en" if i % 5 < 3 else _LANGS[i % 8]
+    # deterministic outlink footer: 3 anchors per page over the same 997
+    # sites (a connected, hub-skewed host graph for link-analysis ops).
+    # The anchors are EMPTY so both text extractors still reproduce
+    # `text` byte-for-byte (tags are soft separators that collapse).
+    links = "".join(
+        f'<a href="https://site-{(i * 7 + 13 * k + 1) % 997:03d}.example/'
+        f'{i:012d}-{k}"></a>'
+        for k in range(3)
+    )
     return {
         "url": f"https://site-{i % 997:03d}.example/{i:012d}",
         "warc_ts": _EPOCH + timedelta(seconds=37 * i),
-        "html": f"<html><body>{text}</body></html>".encode(),
+        "html": f"<html><body>{text}{links}</body></html>".encode(),
         "text": text,
         "lang": lang,
     }

@@ -49,6 +49,9 @@ __all__ = [
     "registered_domain",
     "boilerplate_line_stats",
     "remove_boilerplate_lines",
+    "extract_links_col",
+    "resolve_url",
+    "host_graph",
 ]
 
 #: named entities the Catalyst fast path decodes; ``&amp;`` must come
@@ -182,6 +185,78 @@ def registered_domain(col: Column) -> Column:
     deployment substitutes a broadcast Public Suffix List lookup, same
     column contract)."""
     return F.regexp_extract(url_host(col), r"([^.]+\.[^.]+)$", 1)
+
+
+# ---------------------------------------------------------------------------
+# link extraction + host graph (the outlink side of the pages table)
+# ---------------------------------------------------------------------------
+
+
+def extract_links_col(col: Column) -> Column:
+    """``href`` targets of every ``<a>`` tag, in document order, pure
+    Catalyst (``regexp_extract_all`` group 1 over the decoded html).
+    Accepts BINARY or STRING html.  Quoted hrefs only (unquoted href
+    values are vanishingly rare in real markup and ambiguous to lex
+    with a regex — documented gap, same spirit as
+    :func:`extract_text_col`'s numeric-charref gap)."""
+    s = F.decode(col.cast("binary"), "UTF-8")
+    return F.regexp_extract_all(
+        s, F.lit(r"""(?i)<a\s[^>]*href\s*=\s*["']([^"'>]+)["']"""), F.lit(1)
+    )
+
+
+def resolve_url(base: Column, href: Column) -> Column:
+    """Resolve an href against its page URL, pure Catalyst: absolute
+    URLs pass through, ``//host/...`` inherits the base scheme,
+    ``/path`` inherits the base origin, and relative paths resolve
+    against the base path's directory.  Dot-segment normalization
+    (``../``) is NOT applied (documented gap — rare in crawl data and
+    irrelevant for host-level analysis, where only the authority
+    matters)."""
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    origin = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    dirname = F.regexp_replace(
+        F.coalesce(F.try_parse_url(base, F.lit("PATH")), F.lit("")),
+        r"/[^/]*$",
+        "",
+    )
+    return (
+        F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(origin, dirname, F.lit("/"), href))
+    )
+
+
+def host_graph(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    drop_self: bool = True,
+) -> DataFrame:
+    """Host-level link graph ``(src_host, dst_host, n_links)`` from the
+    pages table — the input to PageRank/centrality site scoring
+    (pprl_spark.spark.graph.pagerank).
+
+    Scale shape: hrefs are extracted, resolved, and reduced to hosts
+    INSIDE the projection before the explode, so only (src_host,
+    dst_host) string pairs ever reach the aggregate's exchange — html
+    never shuffles; the groupBy is map-side partial-agg'd, and hub
+    hosts (every page links to them) are exactly the keys partial
+    aggregation collapses before the shuffle."""
+    src = url_host(F.col(url_col)).alias("src_host")
+    hosts = F.transform(
+        extract_links_col(F.col(html_col)),
+        lambda h: url_host(resolve_url(F.col(url_col), h)),
+    )
+    pairs = df.select(src, F.explode(hosts).alias("dst_host")).where(
+        F.col("src_host").isNotNull() & F.col("dst_host").isNotNull()
+    )
+    if drop_self:
+        pairs = pairs.where(F.col("src_host") != F.col("dst_host"))
+    return pairs.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
 
 
 # ---------------------------------------------------------------------------

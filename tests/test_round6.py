@@ -1984,3 +1984,123 @@ def test_dedup_job_boiler_and_redact_stages(spark, tmp_path):
         assert "<email>" in r["text"] and "<phone>" in r["text"]
         assert r["pii_email"] >= 1 and r["pii_phone"] >= 1
         assert "a@b.io" not in r["text"]
+
+
+# ---------------------------------------------------------------------------
+# link extraction / host graph / PageRank (round-5 addition)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_links_and_resolve(spark):
+    from pprl_spark.spark.webtext import extract_links_col, resolve_url
+
+    html = (
+        b'<html><body><A HREF="https://abs.example/x">abs</A>'
+        b"<a class='z' href='//cdn.example/y'>pr</a>"
+        b'<a href="/root/z">root</a>'
+        b'<a href="sib.html">rel</a>'
+        b"<a name=anchor>no href</a></body></html>"
+    )
+    df = spark.createDataFrame(
+        [("https://site.example/dir/page.html", html)], "url string, html binary"
+    )
+    row = df.select(
+        extract_links_col(F.col("html")).alias("links")
+    ).collect()[0]
+    assert row["links"] == [
+        "https://abs.example/x", "//cdn.example/y", "/root/z", "sib.html",
+    ]
+    resolved = df.select(
+        F.transform(
+            extract_links_col(F.col("html")),
+            lambda h: resolve_url(F.col("url"), h),
+        ).alias("r")
+    ).collect()[0]["r"]
+    assert resolved == [
+        "https://abs.example/x",
+        "https://cdn.example/y",
+        "https://site.example/root/z",
+        "https://site.example/dir/sib.html",
+    ]
+
+
+def test_host_graph_on_pages_fixture(spark):
+    from pprl_spark.fixtures import make_pages, page_row
+    from pprl_spark.spark.webtext import host_graph
+
+    pages = make_pages(spark, 300, partitions=4)
+    g = host_graph(pages).collect()
+    total = sum(r["n_links"] for r in g)
+    # every page has exactly 3 outlinks; self-links (dst == own host)
+    # are dropped — count the expected survivors from the fixture rule
+    exp = 0
+    for i in range(300):
+        src = i % 997
+        for k in range(3):
+            if (i * 7 + 13 * k + 1) % 997 != src:
+                exp += 1
+    assert total == exp
+    edges = {(r["src_host"], r["dst_host"]) for r in g}
+    assert ("site-000.example", "site-001.example") in edges  # i=0, k=0
+
+
+def _naive_pagerank(edges, iterations=10, d=0.85):
+    nodes = sorted({u for u, v, w in edges} | {v for u, v, w in edges})
+    deg = {}
+    for u, v, w in edges:
+        deg[u] = deg.get(u, 0.0) + w
+    n = len(nodes)
+    r = {x: 1.0 / n for x in nodes}
+    for _ in range(iterations):
+        c = {x: 0.0 for x in nodes}
+        for u, v, w in edges:
+            c[v] += r[u] * w / deg[u]
+        dm = sum(r[x] for x in nodes if x not in deg)
+        r = {x: (1 - d) / n + d * (c[x] + dm / n) for x in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_with_dangling_and_weights(spark):
+    from pprl_spark.spark.graph import pagerank
+
+    edges = [
+        ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+        ("c", "a", 1.0), ("a", "d", 1.0),  # d is dangling (no out-edges)
+    ]
+    exp = _naive_pagerank(edges)
+    df = spark.createDataFrame(edges, "src_host string, dst_host string, n_links double")
+    for parts in (1, 4):
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(df.repartition(parts), weight="n_links").collect()
+        }
+        assert set(got) == set(exp)
+        for k in exp:
+            assert abs(got[k] - exp[k]) < 1e-12, (k, got[k], exp[k])
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    # unweighted: multiplicity via repeated edges instead
+    flat = [(u, v) for u, v, w in edges for _ in range(int(w))]
+    exp2 = _naive_pagerank([(u, v, 1.0) for u, v in flat])
+    df2 = spark.createDataFrame(flat, "src_host string, dst_host string")
+    got2 = {r["node"]: r["rank"] for r in pagerank(df2).collect()}
+    for k in exp2:
+        assert abs(got2[k] - exp2[k]) < 1e-12
+
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(df, iterations=0)
+
+
+def test_pagerank_host_graph_end_to_end(spark):
+    """host_graph → pagerank over the pages fixture: ranks sum to 1 and
+    the hub structure (site-001 receives from many) outranks leaves."""
+    from pprl_spark.fixtures import make_pages
+    from pprl_spark.spark.graph import pagerank
+    from pprl_spark.spark.webtext import host_graph
+
+    g = host_graph(make_pages(spark, 300, partitions=4))
+    ranks = pagerank(g, weight="n_links", iterations=5).collect()
+    assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-9
+    assert all(r["rank"] > 0 for r in ranks)
