@@ -2,6 +2,7 @@
 quality filter (stateless projection, r4) → optional benchmark
 decontamination + Stupid-Backoff perplexity filter (broadcast-model
 stateless projections, r5) → exact dedup (watermark-bounded state) →
+optional PII redaction (pure-Catalyst projection, r5) →
 CLK encode → parquet sink — the streaming counterpart of
 jobs/dedup_job.py's batch curation stages.
 
@@ -33,7 +34,8 @@ def build_query(spark, src: str, out: str, ckpt: str, once: bool,
                 rules=None, eval_src: str | None = None,
                 decontaminate_n: int = 13,
                 lm_counts: str | None = None,
-                lm_max_perplexity: float = 1e6):
+                lm_max_perplexity: float = 1e6,
+                redact: bool = False):
     from pprl_spark.config import (CLKFilter, HashConfig, HashFunctionConfig,
                                    MaskConfig)
     from pprl_spark.spark.decontaminate import streaming_decontaminate
@@ -79,9 +81,20 @@ def build_query(spark, src: str, out: str, ckpt: str, once: bool,
             .select("url", "text", "lang", "ts")
         )
     deduped = streaming_dedup_exact(filtered, "text", "ts", watermark="2 hours")
+    pii_cols = []
+    if redact:
+        # PII scrub AFTER dedup (so redaction can't perturb the dedup
+        # key) and BEFORE encode (so PII never enters the CLK bloom
+        # either) — redact_pii is a pure Catalyst projection, so the
+        # batch operator streams as-is, no stateful variant needed
+        from pprl_spark.spark.pii import PII_PATTERNS, redact_pii
+
+        deduped = redact_pii(deduped)
+        pii_cols = [f"pii_{k}" for k in PII_PATTERNS]
     encoded = streaming_mask(
-        deduped.withColumnRenamed("url", "id"), cfg, ["text"]
-    ).select("id", "bloom")
+        deduped.withColumnRenamed("url", "id"), cfg, ["text"],
+        keep_cols=tuple(pii_cols),
+    ).select("id", "bloom", *pii_cols)
     writer = (
         encoded.writeStream.format("parquet")
         .option("path", out)
@@ -106,6 +119,8 @@ def main() -> None:
                     help="parquet dir of Stupid Backoff counts "
                     "(pprl-spark lm-train); enables the perplexity filter")
     ap.add_argument("--lm-max-perplexity", type=float, default=1e6)
+    ap.add_argument("--redact", action="store_true",
+                    help="PII-scrub the deduped stream before encoding")
     args = ap.parse_args()
 
     from pprl_spark.spark.session import get_spark
@@ -113,7 +128,8 @@ def main() -> None:
     spark = get_spark("stream-job", master=args.master)
     q = build_query(spark, args.src, args.out, args.ckpt, args.once,
                     eval_src=args.eval_src, lm_counts=args.lm_counts,
-                    lm_max_perplexity=args.lm_max_perplexity)
+                    lm_max_perplexity=args.lm_max_perplexity,
+                    redact=args.redact)
     q.awaitTermination()
     spark.stop()
 

@@ -385,6 +385,43 @@ def _cmd_redact(args, spark) -> None:
     _write_single_csv(out.orderBy("doc_id"), args.output)
 
 
+def _cmd_ingest_warc(args, spark) -> None:
+    """Beyond-reference: ingest Common-Crawl-style WARC archives into
+    the parquet pages table (url, warc_ts, html[, text])."""
+    from pyspark.sql import functions as F
+
+    from .io.warc import read_warc
+    from .spark.webtext import extract_text_col
+
+    df = read_warc(spark, args.input)
+    if args.extract_text:
+        df = df.withColumn("text", extract_text_col(F.col("html")))
+    df.write.mode("overwrite").parquet(args.output)
+    print(f"wrote {spark.read.parquet(args.output).count()} pages "
+          f"to {args.output}")
+
+
+def _cmd_linkrank(args, spark) -> None:
+    """Beyond-reference: host-level PageRank over the pages table's
+    outlink graph (site scoring for crawl frontiers / mixture weights)."""
+    from pyspark.sql import functions as F
+
+    from .spark.graph import pagerank
+    from .spark.webtext import host_graph
+
+    df = _read_table(args, spark)
+    for col in (args.url_column, args.html_column):
+        if col not in df.columns:
+            raise ValueError(f"input needs `{col}` column (found {df.columns})")
+    g = host_graph(df, url_col=args.url_column, html_col=args.html_column)
+    ranks = pagerank(g, weight="n_links", iterations=args.iterations)
+    _write_single_csv(
+        ranks.select("node", F.round("rank", 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node"),
+        args.output,
+    )
+
+
 def _cmd_boilerplate(args, spark) -> None:
     """Beyond-reference: RefinedWeb/CCNet-style boilerplate line removal
     (lines repeated across ≥ min-docs and ≥ min-doc-fraction of a
@@ -586,6 +623,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-doc-fraction", type=float, default=0.05,
                    help="…and in at least this fraction of the group's docs")
     p.set_defaults(fn=_cmd_boilerplate)
+
+    p = sub.add_parser(
+        "linkrank",
+        help="host-level PageRank over the pages table's outlink graph "
+             "→ CSV; beyond the reference surface",
+    )
+    p.add_argument("input", help="pages parquet path/dir (url, html)")
+    p.add_argument("output", help="output CSV path")
+    p.add_argument("--url-column", default="url")
+    p.add_argument("--html-column", default="html")
+    p.add_argument("--iterations", type=int, default=10)
+    p.set_defaults(fn=_cmd_linkrank)
+
+    p = sub.add_parser(
+        "ingest-warc",
+        help="WARC/WARC.GZ archives → parquet pages table "
+             "(url, warc_ts, html[, text]); beyond the reference surface",
+    )
+    p.add_argument("input", help="file/dir/glob of .warc or .warc.gz")
+    p.add_argument("output", help="parquet output dir")
+    p.add_argument("--extract-text", action="store_true",
+                   help="also materialize the extracted text column")
+    p.set_defaults(fn=_cmd_ingest_warc)
     return ap
 
 

@@ -22,6 +22,7 @@ __all__ = [
     "page_row",
     "make_pages",
     "make_pages_local",
+    "make_warc_bytes",
     "make_png_bytes",
     "make_jpeg_bytes",
     "make_gif_bytes",
@@ -1311,3 +1312,41 @@ def make_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame([audio_payload_row(int(i)) for i in pdf[id_col]])
 
     return df.select(id_col).mapInPandas(_gen, schema="doc_id long, payload binary")
+
+
+def make_warc_bytes(rows: "list[dict]", gz: bool = False) -> bytes:
+    """A spec-shaped WARC file from ``page_row`` dicts: a ``warcinfo``
+    record, then per page a ``request`` record (readers must skip it)
+    and a ``response`` record whose payload is a captured HTTP response
+    wrapping the page's html.  ``gz=True`` emits one gzip member per
+    record (the seekable ``.warc.gz`` layout of ISO 28500 annex D)."""
+    import gzip as _gzip
+
+    def record(typ: str, headers: "list[tuple[str, str]]", payload: bytes) -> bytes:
+        head = [f"WARC/1.0", f"WARC-Type: {typ}"] + [
+            f"{k}: {v}" for k, v in headers
+        ] + [f"Content-Length: {len(payload)}"]
+        raw = ("\r\n".join(head) + "\r\n\r\n").encode("latin-1")
+        raw += payload + b"\r\n\r\n"
+        return _gzip.compress(raw) if gz else raw
+
+    out = [record("warcinfo",
+                  [("WARC-Date", "2024-01-01T00:00:00Z")],
+                  b"software: pprl-spark-fixture\r\n")]
+    for r in rows:
+        ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        out.append(record(
+            "request",
+            [("WARC-Target-URI", r["url"]), ("WARC-Date", ts)],
+            f"GET {r['url']} HTTP/1.1\r\nHost: x\r\n\r\n".encode("latin-1"),
+        ))
+        body = r["html"]
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode("latin-1")
+                + body)
+        out.append(record(
+            "response",
+            [("WARC-Target-URI", r["url"]), ("WARC-Date", ts)],
+            http,
+        ))
+    return b"".join(out)

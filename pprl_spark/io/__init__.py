@@ -7,3 +7,4 @@ from .entities import (  # noqa: F401
     write_bit_vector_csv,
     write_match_csv,
 )
+from .warc import parse_warc_bytes, read_warc  # noqa: F401

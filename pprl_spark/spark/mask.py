@@ -36,8 +36,11 @@ def mask(
     attributes: list[str],
     id_col: str = "id",
     output_col: str = "bloom",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """``df[id, attrs…] → df[id, bloom BINARY]`` (packed MSB-first bytes).
+    ``keep_cols`` ride through the otherwise-narrow projection (e.g. a
+    stream's PII counts).
 
     Parity: the reference's `/mask` endpoint (routers/mask.py:385-410) —
     CLK/CLKRBF/RBF encode + hardener chain; output bytes equal
@@ -59,6 +62,7 @@ def mask(
 
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         _encode(F.col(id_col), *[F.col(c) for c in cols]).alias(output_col),
     )
 

@@ -38,13 +38,15 @@ def streaming_mask(
     cfg: MaskConfig,
     attributes: list[str],
     id_col: str = "id",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Apply the Bloom encode to a streaming DataFrame (same narrow
     projection as batch — mask() builds a plain column expression, so it
     composes with streaming plans unchanged)."""
     if not stream_df.isStreaming:
         raise ValueError("streaming_mask expects a streaming DataFrame")
-    return mask(stream_df, cfg, attributes, id_col=id_col)
+    return mask(stream_df, cfg, attributes, id_col=id_col,
+                keep_cols=keep_cols)
 
 
 def streaming_windowed_counts(

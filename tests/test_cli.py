@@ -268,3 +268,34 @@ def test_cli_boilerplate(spark, tmp_path):
     assert rows["2"]["text"] == "keep two"
     assert rows["1"]["n_lines_removed"] == "1"
     assert rows["3"]["text"] == "other"
+
+
+def test_cli_ingest_warc(spark, tmp_path, capsys):
+    from pprl_spark.fixtures import make_pages_local, make_warc_bytes
+
+    rows = make_pages_local(8)
+    (tmp_path / "x.warc.gz").write_bytes(make_warc_bytes(rows, gz=True))
+    out = tmp_path / "pages_pq"
+    cli.main(["ingest-warc", str(tmp_path / "x.warc.gz"), str(out),
+              "--extract-text"])
+    got = {r["url"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert len(got) == 8
+    for r in rows:
+        assert got[r["url"]]["text"] == r["text"]
+        assert bytes(got[r["url"]]["html"]) == r["html"]
+
+
+def test_cli_linkrank(spark, tmp_path):
+    from pprl_spark.fixtures import make_pages
+
+    src = tmp_path / "pages_pq"
+    make_pages(spark, 100, partitions=2).write.parquet(str(src))
+    out = tmp_path / "ranks.csv"
+    cli.main(["linkrank", str(src), str(out), "--iterations", "3"])
+    rows = _read_csv(str(out))
+    assert len(rows) > 50  # hosts appearing in any edge
+    total = sum(float(r["rank"]) for r in rows)
+    assert abs(total - 1.0) < 1e-6
+    # sorted by rank desc
+    ranks = [float(r["rank"]) for r in rows]
+    assert ranks == sorted(ranks, reverse=True)

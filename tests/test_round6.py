@@ -2104,3 +2104,103 @@ def test_pagerank_host_graph_end_to_end(spark):
     ranks = pagerank(g, weight="n_links", iterations=5).collect()
     assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-9
     assert all(r["rank"] > 0 for r in ranks)
+
+
+# ---------------------------------------------------------------------------
+# WARC source (round-5 addition)
+# ---------------------------------------------------------------------------
+
+
+def test_warc_roundtrip_plain_and_gz(spark, tmp_path):
+    """read_warc over fixture archives reproduces (url, warc_ts, html)
+    byte-for-byte, skipping warcinfo/request records; .warc and the
+    per-record-gzip-member .warc.gz layout parse identically."""
+    from pprl_spark.fixtures import make_pages_local, make_warc_bytes
+    from pprl_spark.io.warc import parse_warc_bytes, read_warc
+
+    rows = make_pages_local(25)
+    (tmp_path / "a.warc").write_bytes(make_warc_bytes(rows[:13]))
+    (tmp_path / "b.warc.gz").write_bytes(make_warc_bytes(rows[13:], gz=True))
+
+    got = {
+        r["url"]: r
+        for r in read_warc(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 25
+    for exp in rows:
+        r = got[exp["url"]]
+        assert bytes(r["html"]) == exp["html"], exp["url"]
+        assert r["warc_ts"] == exp["warc_ts"]
+
+    # local parser agreement between the two layouts
+    plain = parse_warc_bytes(make_warc_bytes(rows), gz=False)
+    gzed = parse_warc_bytes(make_warc_bytes(rows, gz=True), gz=True)
+    assert plain == gzed
+    assert len(plain) == 25  # request/warcinfo records skipped
+
+
+def test_warc_to_pages_pipeline(spark, tmp_path):
+    """The ingestion story end-to-end: WARC → (url, warc_ts, html) →
+    extract_text_col reproduces the fixture's text column."""
+    from pprl_spark.fixtures import make_pages_local, make_warc_bytes
+    from pprl_spark.spark.webtext import extract_text_col
+    from pprl_spark.io.warc import read_warc
+
+    rows = make_pages_local(10)
+    (tmp_path / "c.warc").write_bytes(make_warc_bytes(rows))
+    pages = read_warc(spark, str(tmp_path / "c.warc")).withColumn(
+        "text", extract_text_col(F.col("html"))
+    )
+    texts = {r["url"]: r["text"] for r in pages.collect()}
+    assert texts == {r["url"]: r["text"] for r in rows}
+
+
+def test_warc_parser_edge_cases():
+    from pprl_spark.io.warc import parse_warc_bytes
+
+    # stray padding between records is tolerated; truncated tail ignored
+    from pprl_spark.fixtures import make_pages_local, make_warc_bytes
+
+    raw = make_warc_bytes(make_pages_local(2))
+    assert len(parse_warc_bytes(b"JUNK" + raw + b"garbage", gz=False)) == 2
+    # payload without an HTTP envelope passes through as-is
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://x.example/\r\n"
+           b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+           b"Content-Length: 5\r\n\r\nhello\r\n\r\n")
+    out = parse_warc_bytes(rec, gz=False)
+    assert out[0][2] == b"hello"
+
+
+def test_stream_job_redact_stage(spark, tmp_path):
+    """--redact in the composed streaming job: PII is scrubbed after
+    dedup and the per-kind counts ride the sink schema; redaction runs
+    as a plain Catalyst projection on the stream (no stateful op)."""
+    import importlib.util
+    import pathlib
+    from datetime import datetime, timedelta
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_job",
+        pathlib.Path(__file__).resolve().parent.parent / "jobs" / "stream_job.py",
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("u1", "reach me at jane@corp.example for details", "en", t0),
+        ("u2", "server logs show 10.1.2.3 repeatedly", "en",
+         t0 + timedelta(minutes=1)),
+        ("u3", "nothing sensitive in this one at all", "en",
+         t0 + timedelta(minutes=2)),
+    ]
+    spark.createDataFrame(rows, job.PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = job.build_query(spark, src, out, ckpt, once=True, redact=True)
+    q.awaitTermination(180)
+    got = {r["id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"u1", "u2", "u3"}
+    assert got["u1"]["pii_email"] == 1 and got["u2"]["pii_ipv4"] == 1
+    assert got["u3"]["pii_email"] == got["u3"]["pii_ipv4"] == 0
