@@ -363,9 +363,21 @@ def _cmd_sample(args, spark) -> None:
             raise ValueError(
                 f"input needs `{args.per_group}` column (found {df.columns})"
             )
-        out = stratified_sample(
-            df, args.per_group, args.key_column, k=args.k, salt=args.salt
-        ).orderBy(args.per_group, "sample_rank")
+        if args.mixture_alpha is not None:
+            if args.rate is None:
+                raise ValueError("--mixture-alpha needs --rate "
+                                 "(the overall target fraction)")
+            from .spark.sampling import mixture_sample
+
+            out = mixture_sample(
+                df, args.per_group, args.key_column,
+                alpha=args.mixture_alpha, target_fraction=args.rate,
+                salt=args.salt,
+            ).orderBy(F.col(args.key_column))
+        else:
+            out = stratified_sample(
+                df, args.per_group, args.key_column, k=args.k, salt=args.salt
+            ).orderBy(args.per_group, "sample_rank")
     else:
         if args.rate is None:
             raise ValueError("need --per-group GROUP (with -k) or --rate")
@@ -586,7 +598,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-k", type=int, default=100,
                    help="rows per group (with --per-group)")
     p.add_argument("--rate", type=float, default=None,
-                   help="hash-sample fraction in [0,1] (without --per-group)")
+                   help="hash-sample fraction in [0,1] (without --per-group; "
+                        "with --mixture-alpha: the overall target fraction)")
+    p.add_argument("--mixture-alpha", type=float, default=None,
+                   help="with --per-group and --rate: temperature-rebalance "
+                        "groups at count^alpha (waterfilled exact rates) "
+                        "instead of taking k per group")
     p.add_argument("--salt", default="",
                    help="salt for an independent resample")
     p.set_defaults(fn=_cmd_sample)

@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_sample", "hash_split", "stratified_sample"]
+__all__ = [
+    "hash_bucket",
+    "hash_sample",
+    "hash_split",
+    "stratified_sample",
+    "mixture_rates",
+    "mixture_sample",
+]
 
 _MOD = 2_147_483_647  # 2^31 − 1, matches dedup's md5 lane
 
@@ -158,4 +165,104 @@ def stratified_sample(
         ok.unionByName(redo)
         .where(F.col(rank_col) <= k)
         .drop("__lane", "__grp", "__n")
+    )
+
+
+def mixture_rates(
+    counts: "list[tuple]", alpha: float, target_fraction: float
+) -> "dict":
+    """Per-group keep rates for :func:`mixture_sample` — exact
+    waterfilling of the temperature-``alpha`` mixture.
+
+    Group g with n_g rows gets sampled mass proportional to n_g**alpha
+    (alpha=1 → proportional/no-op; alpha=0 → uniform across groups;
+    the 0.3-0.7 range is the usual multilingual-LLM rebalance), scaled
+    so the expected overall kept fraction equals ``target_fraction``.
+    Rates cap at 1.0; the capped groups' shortfall is re-spread over
+    the uncapped ones (iterating at most len(counts) times — exact, not
+    approximate).  Driver-side math over the per-group count table (a
+    few thousand rows at worst), returning {group: rate}.
+    """
+    if not 0.0 < target_fraction <= 1.0:
+        raise ValueError(
+            f"target_fraction must be in (0, 1], got {target_fraction}"
+        )
+    if alpha < 0.0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    total = sum(n for _, n in counts)
+    budget = target_fraction * total
+    live = {g: (n, float(n) ** alpha) for g, n in counts}
+    rates: dict = {}
+    while live:
+        wsum = sum(w for _, w in live.values())
+        if wsum <= 0.0:
+            for g in live:
+                rates[g] = 0.0
+            break
+        scale = budget / wsum
+        capped = {g for g, (n, w) in live.items() if scale * w >= n}
+        if not capped:
+            for g, (n, w) in live.items():
+                rates[g] = scale * w / n
+            break
+        for g in capped:
+            n, _ = live.pop(g)
+            rates[g] = 1.0
+            budget -= n
+    return rates
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: Column | str,
+    key: Column | str,
+    alpha: float = 0.7,
+    target_fraction: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing: hash-sample each group at
+    the rate :func:`mixture_rates` assigns (count^alpha waterfilling) —
+    the domain/language up/down-weighting step of a training-mixture
+    build, with the same deterministic content-keyed decisions as
+    :func:`hash_sample` (same key ⇒ same decision across recompute,
+    repartition, and appends at fixed rates).
+
+    Scale shape: one tiny groupBy-count aggregate (collected — one row
+    per group, the only driver-side data ever moved), rates waterfilled
+    exactly on the driver, then ONE map-side filter: per-group
+    thresholds ship as a literal map for few groups, or as a
+    broadcast-hash-joined threshold table beyond 1000 groups (a
+    million-entry literal would bloat the plan; either way df itself
+    never shuffles).  NULL groups are dropped (consistent with
+    ``stratified_sample``'s NULL policy).
+    """
+    group_col = F.col(group_col) if isinstance(group_col, str) else group_col
+    counts = [
+        (r["__g"], r["__n"])
+        for r in df.select(group_col.alias("__g"))
+        .where(F.col("__g").isNotNull())
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    ]
+    rates = mixture_rates(counts, alpha, target_fraction)
+    buckets = 1_000_000
+    lane = hash_bucket(key, buckets, salt)
+    if len(rates) <= 1000:
+        thresholds = F.create_map(
+            *[
+                x
+                for g, rate in sorted(rates.items(), key=lambda kv: str(kv[0]))
+                for x in (F.lit(g), F.lit(int(rate * buckets)))
+            ]
+        )
+        return df.where(lane < F.coalesce(thresholds[group_col], F.lit(-1)))
+    thr = df.sparkSession.createDataFrame(
+        [(g, int(rate * buckets)) for g, rate in rates.items()],
+        ["__g", "__thr"],
+    )
+    return (
+        df.join(F.broadcast(thr), group_col == F.col("__g"))
+        .where(lane < F.col("__thr"))
+        .drop("__g", "__thr")
     )

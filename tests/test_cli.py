@@ -299,3 +299,28 @@ def test_cli_linkrank(spark, tmp_path):
     # sorted by rank desc
     ranks = [float(r["rank"]) for r in rows]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_cli_sample_mixture(spark, tmp_path):
+    docs = tmp_path / "m.csv"
+    docs.write_text(
+        "doc_id,lang,text\n"
+        + "".join(
+            f"{i},{'en' if i % 10 < 8 else 'de'},doc {i}\n" for i in range(200)
+        )
+    )
+    out = tmp_path / "mix.csv"
+    cli.main([
+        "sample", str(docs), str(out),
+        "--per-group", "lang", "--mixture-alpha", "0.0", "--rate", "0.5",
+    ])
+    rows = _read_csv(str(out))
+    kept = {}
+    for r in rows:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    # alpha=0 targets equal mass per group: the rare group (de, 40 docs)
+    # is kept at a much higher rate than the dominant one
+    assert kept["de"] / 40 > kept["en"] / 160
+    with pytest.raises(ValueError, match="--rate"):
+        cli.main(["sample", str(docs), str(tmp_path / "x.csv"),
+                  "--per-group", "lang", "--mixture-alpha", "0.5"])

@@ -2204,3 +2204,222 @@ def test_stream_job_redact_stage(spark, tmp_path):
     assert set(got) == {"u1", "u2", "u3"}
     assert got["u1"]["pii_email"] == 1 and got["u2"]["pii_ipv4"] == 1
     assert got["u3"]["pii_email"] == got["u3"]["pii_ipv4"] == 0
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample (round-5 addition)
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_rates_waterfilling():
+    from pprl_spark.spark.sampling import mixture_rates
+
+    # alpha=1: proportional — every group gets the target rate
+    r = mixture_rates([("a", 100), ("b", 900)], alpha=1.0, target_fraction=0.4)
+    assert r == pytest.approx({"a": 0.4, "b": 0.4})
+    # alpha=0: equal mass per group; tiny group caps at 1.0 and its
+    # shortfall re-spreads onto the big one (exact waterfilling)
+    r = mixture_rates([("a", 10), ("b", 990)], alpha=0.0, target_fraction=0.5)
+    assert r["a"] == 1.0
+    assert r["b"] == pytest.approx((0.5 * 1000 - 10) / 990)
+    # expected kept mass always equals the budget
+    for alpha in (0.0, 0.3, 0.7, 1.0):
+        counts = [("x", 5), ("y", 50), ("z", 500)]
+        r = mixture_rates(counts, alpha=alpha, target_fraction=0.6)
+        kept = sum(r[g] * n for g, n in counts)
+        assert kept == pytest.approx(0.6 * 555)
+        assert all(0.0 <= v <= 1.0 for v in r.values())
+    # target 1.0 keeps everything
+    assert mixture_rates([("a", 3)], 0.5, 1.0) == {"a": 1.0}
+    with pytest.raises(ValueError, match="target_fraction"):
+        mixture_rates([("a", 1)], 0.5, 0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        mixture_rates([("a", 1)], -0.1, 0.5)
+
+
+def test_mixture_sample_deterministic_and_matches_rates(spark):
+    """The kept set is exactly {rows whose md5 lane < rate·M} per group
+    — reproduced row-for-row by a local replica, partition-invariant,
+    and identical through the literal-map and broadcast-join paths."""
+    import hashlib
+
+    from pprl_spark.spark.sampling import mixture_rates, mixture_sample
+
+    rows = [(i, "en" if i % 10 < 8 else ("de" if i % 2 else "fr"))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    counts = {}
+    for _, g in rows:
+        counts[g] = counts.get(g, 0) + 1
+    rates = mixture_rates(sorted(counts.items()), alpha=0.3,
+                          target_fraction=0.4)
+
+    def lane(key):
+        h = hashlib.md5(str(key).encode()).hexdigest()[:8]
+        return (int(h, 16) % 2_147_483_647) % 1_000_000
+
+    exp = {
+        i for i, g in rows if lane(i) < int(rates[g] * 1_000_000)
+    }
+    for parts in (1, 7):
+        got = {
+            r["doc_id"]
+            for r in mixture_sample(
+                df.repartition(parts), "lang", "doc_id",
+                alpha=0.3, target_fraction=0.4,
+            ).collect()
+        }
+        assert got == exp, parts
+    # rare groups kept at a higher rate than the dominant one
+    kept_by = {}
+    for i in exp:
+        g = rows[i][1]
+        kept_by[g] = kept_by.get(g, 0) + 1
+    assert kept_by["de"] / counts["de"] > kept_by["en"] / counts["en"]
+
+
+def test_mixture_sample_broadcast_path_agrees(spark):
+    """Force the high-cardinality broadcast-join path (>1000 groups) and
+    check it against the same local replica."""
+    import hashlib
+
+    from pprl_spark.spark.sampling import mixture_rates, mixture_sample
+
+    rows = [(i, f"g{i % 1500:04d}") for i in range(6000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    counts = {}
+    for _, g in rows:
+        counts[g] = counts.get(g, 0) + 1
+    rates = mixture_rates(sorted(counts.items()), alpha=0.5,
+                          target_fraction=0.3)
+
+    def lane(key):
+        h = hashlib.md5(str(key).encode()).hexdigest()[:8]
+        return (int(h, 16) % 2_147_483_647) % 1_000_000
+
+    exp = {i for i, g in rows if lane(i) < int(rates[g] * 1_000_000)}
+    got = {
+        r["doc_id"]
+        for r in mixture_sample(
+            df, "grp", "doc_id", alpha=0.5, target_fraction=0.3
+        ).collect()
+    }
+    assert got == exp
+    cols = mixture_sample(df, "grp", "doc_id").columns
+    assert cols == ["doc_id", "grp"]  # helper columns dropped
+
+
+# ---------------------------------------------------------------------------
+# winnowing substring dedup (round-5 addition)
+# ---------------------------------------------------------------------------
+
+
+def _naive_winnow(text, k, w):
+    M, B = (1 << 56) - 5, 131
+    b = text.encode("utf-8", "surrogatepass")
+    hs = []
+    for i in range(len(b) - k + 1):
+        h = 0
+        for c in b[i:i + k]:
+            h = (h * B + c) % M
+        hs.append(h)
+    if not hs:
+        return set()
+    if len(hs) <= w:
+        m = min(hs)
+        pos = max(i for i, x in enumerate(hs) if x == m)
+        return {(hs[pos], pos)}
+    sel = set()
+    for s in range(len(hs) - w + 1):
+        window = hs[s:s + w]
+        m = min(window)
+        sel.add(s + max(i for i, x in enumerate(window) if x == m))
+    ordered = sorted(sel)
+    # equal-hash run compression, adjacent-pair rule (mirrors the
+    # vectorized implementation exactly)
+    kept = [ordered[0]]
+    for prev, p in zip(ordered, ordered[1:]):
+        if not (hs[p] == hs[prev] and p - prev < w):
+            kept.append(p)
+    return {(hs[p], p) for p in kept}
+
+
+def test_winnow_numpy_matches_naive_and_guarantee():
+    import random
+
+    from pprl_spark.spark.substring import _winnow_numpy
+
+    rng = random.Random(5)
+    alpha = "abcdefgh "
+    for trial in range(25):
+        k = rng.choice([4, 7, 25])
+        w = rng.choice([1, 3, 8, 25])
+        t = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 300)))
+        assert set(_winnow_numpy(t, k, w)) == _naive_winnow(t, k, w), (k, w, t)
+    # the winnowing guarantee: a shared run of length >= w+k-1 always
+    # yields at least one common selected hash
+    for trial in range(20):
+        k, w = 5, 6
+        shared = "".join(rng.choice(alpha) for _ in range(k + w - 1))
+        a = "".join(rng.choice(alpha) for _ in range(80)) + shared \
+            + "".join(rng.choice(alpha) for _ in range(80))
+        b = "".join(rng.choice(alpha) for _ in range(40)) + shared \
+            + "".join(rng.choice(alpha) for _ in range(120))
+        ha = {h for h, _ in _winnow_numpy(a, k, w)}
+        hb = {h for h, _ in _winnow_numpy(b, k, w)}
+        assert ha & hb, trial
+    # density ~ 2/(w+1)
+    t = "".join(rng.choice(alpha) for _ in range(5000))
+    fp = _winnow_numpy(t, 10, 20)
+    assert 2 * 5000 / 21 * 0.5 < len(fp) < 2 * 5000 / 21 * 2.0
+    # degenerate and short inputs
+    assert _winnow_numpy("", 5, 5) == []
+    assert _winnow_numpy("abc", 5, 5) == []
+    assert len(_winnow_numpy("a" * 100, 5, 5)) == 1  # all hashes equal
+
+
+def test_duplicate_spans_and_stats(spark):
+    from pprl_spark.spark.substring import duplicate_span_stats, duplicate_spans
+
+    passage = ("all work and no play makes jack a dull boy " * 3).strip()
+    docs = [
+        (1, "intro paragraph here. " + passage + " and then some more prose"),
+        (2, "different document entirely but quoting: " + passage + " end"),
+        (3, "totally unrelated text with nothing shared at all among these"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = duplicate_spans(df, k=25, w=25).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], set()).add(r["h"])
+        assert r["n_docs"] == 2
+    assert set(by_doc) == {1, 2}
+    assert by_doc[1] & by_doc[2]  # the planted passage is caught
+    # stats: sharing docs have dup_fraction > 0, the loner exactly 0
+    st = {r["doc_id"]: r for r in duplicate_span_stats(df, k=25, w=25).collect()}
+    assert st[1]["dup_fraction"] > 0 and st[2]["dup_fraction"] > 0
+    assert st[3]["dup_fraction"] == 0.0 and st[3]["n_fingerprints"] > 0
+    assert st[4]["n_fingerprints"] == 0 and st[4]["dup_fraction"] == 0.0
+    # partition invariance
+    again = duplicate_spans(df.repartition(5), k=25, w=25).collect()
+    assert {(r["h"], r["doc_id"], r["pos"]) for r in again} == {
+        (r["h"], r["doc_id"], r["pos"]) for r in spans
+    }
+
+
+def test_duplicate_spans_hot_hash_cap(spark):
+    from pprl_spark.spark.substring import duplicate_spans
+
+    # 30 docs all sharing one templated passage; cap below 30 drops it
+    passage = "x" * 80
+    docs = [(i, f"doc {i:03d} prefix " + passage) for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    assert duplicate_spans(df, k=25, w=25, max_docs_per_hash=10).where(
+        "n_docs >= 25"
+    ).count() == 0
+    uncapped = duplicate_spans(df, k=25, w=25).where("n_docs = 30")
+    assert uncapped.count() > 0
+    with pytest.raises(ValueError, match="k >= 2"):
+        from pprl_spark.spark.substring import winnow_fingerprints
+        winnow_fingerprints("text", k=1)
