@@ -1,5 +1,6 @@
 """Composed Structured-Streaming job: continuously-arriving pages →
-quality filter (stateless projection, r4) → optional benchmark
+quality filter (stateless projection, r4) → optional frozen-blocklist
+boilerplate removal (stream-static broadcast join, r5) + benchmark
 decontamination + Stupid-Backoff perplexity filter (broadcast-model
 stateless projections, r5) → exact dedup (watermark-bounded state) →
 optional PII redaction (pure-Catalyst projection, r5) →
@@ -35,7 +36,8 @@ def build_query(spark, src: str, out: str, ckpt: str, once: bool,
                 decontaminate_n: int = 13,
                 lm_counts: str | None = None,
                 lm_max_perplexity: float = 1e6,
-                redact: bool = False):
+                redact: bool = False,
+                boilerplate_src: str | None = None):
     from pprl_spark.config import (CLKFilter, HashConfig, HashFunctionConfig,
                                    MaskConfig)
     from pprl_spark.spark.decontaminate import streaming_decontaminate
@@ -59,6 +61,17 @@ def build_query(spark, src: str, out: str, ckpt: str, once: bool,
         .where("keep")
         .select("url", "text", "lang", "ts")
     )
+    if boilerplate_src is not None:
+        # frozen-blocklist boilerplate removal (r5): the blocklist is a
+        # batch artifact (boilerplate_line_stats filtered by the batch
+        # job's thresholds, columns domain/line_hash/n_docs) broadcast
+        # into a stream-static join — line spread is corpus-global, so
+        # no bounded stream state could compute it online
+        from pprl_spark.spark.webtext import streaming_remove_boilerplate
+
+        filtered = streaming_remove_boilerplate(
+            filtered, spark.read.parquet(boilerplate_src)
+        ).select("url", "text", "lang", "ts")
     if eval_src is not None:
         # benchmark decontamination at ingest (r5): a stateless
         # broadcast-set membership stage, mirroring the batch
@@ -121,6 +134,10 @@ def main() -> None:
     ap.add_argument("--lm-max-perplexity", type=float, default=1e6)
     ap.add_argument("--redact", action="store_true",
                     help="PII-scrub the deduped stream before encoding")
+    ap.add_argument("--boilerplate-src", default=None,
+                    help="parquet blocklist (domain, line_hash, n_docs) "
+                    "from the batch boilerplate stats; enables frozen-"
+                    "blocklist line removal")
     args = ap.parse_args()
 
     from pprl_spark.spark.session import get_spark
@@ -129,7 +146,8 @@ def main() -> None:
     q = build_query(spark, args.src, args.out, args.ckpt, args.once,
                     eval_src=args.eval_src, lm_counts=args.lm_counts,
                     lm_max_perplexity=args.lm_max_perplexity,
-                    redact=args.redact)
+                    redact=args.redact,
+                    boilerplate_src=args.boilerplate_src)
     q.awaitTermination()
     spark.stop()
 

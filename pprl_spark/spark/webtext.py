@@ -49,6 +49,7 @@ __all__ = [
     "registered_domain",
     "boilerplate_line_stats",
     "remove_boilerplate_lines",
+    "streaming_remove_boilerplate",
     "extract_links_col",
     "resolve_url",
     "host_graph",
@@ -344,29 +345,12 @@ def remove_boilerplate_lines(
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     out_col = out_col or text_col
     stats = boilerplate_line_stats(df, id_col, text_col, domain_col)
-    banned = (
+    banned = _fold_banned(
         stats.where(
             (F.col("n_docs") >= min_docs)
             & (F.col("doc_fraction") >= min_doc_fraction)
-        )
-        .groupBy("domain")
-        .agg(
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                (-F.col("n_docs")).alias("neg"),
-                                F.col("line_hash").alias("h"),
-                            )
-                        )
-                    ),
-                    lambda s: s["h"],
-                ),
-                1,
-                max_banned_per_domain,
-            ).alias("__banned")
-        )
+        ),
+        max_banned_per_domain,
     )
     dom = (
         F.coalesce(F.col(domain_col), F.lit("")) if domain_col else F.lit("")
@@ -376,6 +360,38 @@ def remove_boilerplate_lines(
         .join(banned, "domain", "left")
         .select(id_col, "__banned")
     )
+    return _apply_banned(df.join(slim, id_col), text_col, out_col)
+
+
+def _fold_banned(stats: DataFrame, max_banned_per_domain: int) -> DataFrame:
+    """(domain, line_hash, n_docs) rows → one (domain, __banned ARRAY)
+    row per domain: top max_banned_per_domain by spread, deterministic
+    (-n_docs, line_hash) order — bounds executor memory on adversarial
+    domains; capped domains still ban their top-N worst offenders."""
+    return stats.groupBy("domain").agg(
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("n_docs")).alias("neg"),
+                            F.col("line_hash").alias("h"),
+                        )
+                    )
+                ),
+                lambda s: s["h"],
+            ),
+            1,
+            max_banned_per_domain,
+        ).alias("__banned")
+    )
+
+
+def _apply_banned(
+    joined: DataFrame, text_col: str, out_col: str
+) -> DataFrame:
+    """Map-side line filter against a joined ``__banned`` array column;
+    appends ``n_lines_removed`` and rewrites ``out_col``."""
     lines = F.split(F.col(text_col), r"\n")
     kept = F.filter(
         lines,
@@ -386,10 +402,47 @@ def remove_boilerplate_lines(
         ),
     )
     return (
-        df.join(slim, id_col)
-        .withColumn(
+        joined.withColumn(
             "n_lines_removed", (F.size(lines) - F.size(kept)).cast("int")
         )
         .withColumn(out_col, F.array_join(kept, "\n"))
         .drop("__banned")
     )
+
+
+def streaming_remove_boilerplate(
+    stream_df: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    domain_col: "str | None" = None,
+    out_col: "str | None" = None,
+    max_banned_per_domain: int = 100_000,
+) -> DataFrame:
+    """Streaming counterpart of :func:`remove_boilerplate_lines` with a
+    FROZEN blocklist: line spread is a corpus-global signal no bounded
+    stream state can compute, so — like the streaming LM and
+    decontamination stages — the model is built in batch
+    (:func:`boilerplate_line_stats` filtered by the caller's
+    min-docs/fraction thresholds, columns (domain, line_hash, n_docs))
+    and applied to the stream via a stream-static broadcast join + the
+    same map-side line filter.  Batch≡stream per-row decisions for any
+    row whose domain was in the batch corpus; unseen domains pass
+    through unfiltered (no banned row)."""
+    if not stream_df.isStreaming:
+        raise ValueError(
+            "streaming_remove_boilerplate expects a streaming DataFrame"
+        )
+    out_col = out_col or text_col
+    banned = _fold_banned(blocklist, max_banned_per_domain)
+    dom = (
+        F.coalesce(F.col(domain_col), F.lit("")) if domain_col else F.lit("")
+    )
+    joined = (
+        stream_df.withColumn("__dom", dom)
+        .join(
+            F.broadcast(banned.withColumnRenamed("domain", "__dom")),
+            "__dom",
+            "left",
+        )
+    )
+    return _apply_banned(joined, text_col, out_col).drop("__dom")

@@ -2423,3 +2423,92 @@ def test_duplicate_spans_hot_hash_cap(spark):
     with pytest.raises(ValueError, match="k >= 2"):
         from pprl_spark.spark.substring import winnow_fingerprints
         winnow_fingerprints("text", k=1)
+
+
+def test_streaming_remove_boilerplate_matches_batch(spark, tmp_path):
+    """Frozen-blocklist streaming boilerplate removal makes the same
+    per-row decision as the batch operator over the same corpus."""
+    from pyspark.sql import functions as SF
+
+    from pprl_spark.spark.webtext import (
+        boilerplate_line_stats,
+        remove_boilerplate_lines,
+        streaming_remove_boilerplate,
+    )
+
+    banner = "ACCEPT OUR COOKIES"
+    rows = [
+        (i, "a.com" if i < 8 else "b.com",
+         f"{banner}\nunique body {i}" if i % 2 == 0 else f"only body {i}")
+        for i in range(12)
+    ]
+    schema = "doc_id long, domain string, text string"
+    df = spark.createDataFrame(rows, schema)
+    batch = {
+        r["doc_id"]: (r["text"], r["n_lines_removed"])
+        for r in remove_boilerplate_lines(
+            df, domain_col="domain", min_docs=2, min_doc_fraction=0.3
+        ).collect()
+    }
+    # the frozen blocklist = the same thresholds applied to the stats
+    blocklist = boilerplate_line_stats(df, domain_col="domain").where(
+        (SF.col("n_docs") >= 2) & (SF.col("doc_fraction") >= 0.3)
+    )
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_remove_boilerplate(stream, blocklist, domain_col="domain")
+    q = (
+        out.writeStream.format("memory").queryName("boiler_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_removed"])
+        for r in spark.sql("SELECT * FROM boiler_stream").collect()
+    }
+    assert got == batch
+    # non-streaming input is rejected
+    with pytest.raises(ValueError, match="streaming"):
+        streaming_remove_boilerplate(df, blocklist)
+
+
+def test_stream_job_boilerplate_stage(spark, tmp_path):
+    """--boilerplate-src in the composed streaming job drops the
+    blocklisted line before dedup/encode."""
+    import importlib.util
+    import pathlib
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as SF
+
+    from pprl_spark.spark.webtext import boilerplate_line_stats
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_job",
+        pathlib.Path(__file__).resolve().parent.parent / "jobs" / "stream_job.py",
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    src, out, ckpt, bl = (str(tmp_path / d) for d in ("s", "o", "c", "bl"))
+    t0 = datetime(2024, 1, 1)
+    banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    rows = [
+        (f"u{i}", f"{banner}\ndistinct useful content number {i}", "en",
+         t0 + timedelta(minutes=i))
+        for i in range(4)
+    ]
+    pages = spark.createDataFrame(rows, job.PAGES_SCHEMA)
+    pages.coalesce(1).write.mode("append").parquet(src)
+    # batch-side blocklist over the same corpus (global mode)
+    boilerplate_line_stats(
+        pages.withColumn("doc_id", SF.monotonically_increasing_id())
+    ).where("n_docs >= 2").write.parquet(bl)
+    q = job.build_query(spark, src, out, ckpt, once=True,
+                        boilerplate_src=bl)
+    q.awaitTermination(180)
+    # the banner line is gone from every encoded doc: dedup key was the
+    # CLEANED text, so all four distinct bodies survive
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 4
