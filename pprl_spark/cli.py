@@ -397,6 +397,25 @@ def _cmd_redact(args, spark) -> None:
     _write_single_csv(out.orderBy("doc_id"), args.output)
 
 
+def _cmd_spans(args, spark) -> None:
+    """Beyond-reference: winnowing-fingerprint substring dedup — per-doc
+    verbatim-duplication profile (Lee et al. 2022-style signal)."""
+    from pyspark.sql import functions as F
+
+    from .spark.substring import duplicate_span_stats
+
+    docs = _read_docs(args, spark)
+    out = duplicate_span_stats(
+        docs, k=args.k_gram, w=args.window
+    ).select(
+        "doc_id", "n_fingerprints", "n_shared",
+        F.round("dup_fraction", 6).alias("dup_fraction"),
+    )
+    if args.min_dup_fraction > 0:
+        out = out.where(F.col("dup_fraction") >= args.min_dup_fraction)
+    _write_single_csv(out.orderBy("doc_id"), args.output)
+
+
 def _cmd_ingest_warc(args, spark) -> None:
     """Beyond-reference: ingest Common-Crawl-style WARC archives into
     the parquet pages table (url, warc_ts, html[, text])."""
@@ -640,6 +659,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-doc-fraction", type=float, default=0.05,
                    help="…and in at least this fraction of the group's docs")
     p.set_defaults(fn=_cmd_boilerplate)
+
+    p = sub.add_parser(
+        "spans",
+        help="winnowing substring-dedup profile (fraction of each doc "
+             "verbatim-duplicated elsewhere) → CSV; beyond the "
+             "reference surface",
+    )
+    p.add_argument("input", help="documents parquet path/dir or CSV with header")
+    p.add_argument("output", help="output CSV path")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--k-gram", type=int, default=25,
+                   help="character k-gram size (guarantee = window+k-1)")
+    p.add_argument("--window", type=int, default=25,
+                   help="winnowing window (hashes per selection window)")
+    p.add_argument("--min-dup-fraction", type=float, default=0.0,
+                   help="only emit docs at or above this duplication level")
+    p.set_defaults(fn=_cmd_spans)
 
     p = sub.add_parser(
         "linkrank",

@@ -324,3 +324,24 @@ def test_cli_sample_mixture(spark, tmp_path):
     with pytest.raises(ValueError, match="--rate"):
         cli.main(["sample", str(docs), str(tmp_path / "x.csv"),
                   "--per-group", "lang", "--mixture-alpha", "0.5"])
+
+
+def test_cli_spans(spark, tmp_path):
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    docs = tmp_path / "sp.csv"
+    docs.write_text(
+        "doc_id,text\n"
+        f'1,"intro. {passage} outro one"\n'
+        f'2,"other start. {passage} different end"\n'
+        '3,"entirely unrelated content with no shared passage anywhere"\n'
+    )
+    out = tmp_path / "spans.csv"
+    cli.main(["spans", str(docs), str(out), "--k-gram", "20", "--window", "10"])
+    rows = {r["doc_id"]: r for r in _read_csv(str(out))}
+    assert float(rows["1"]["dup_fraction"]) > 0
+    assert float(rows["2"]["dup_fraction"]) > 0
+    assert float(rows["3"]["dup_fraction"]) == 0.0
+    flt = tmp_path / "flt.csv"
+    cli.main(["spans", str(docs), str(flt), "--k-gram", "20",
+              "--window", "10", "--min-dup-fraction", "0.01"])
+    assert {r["doc_id"] for r in _read_csv(str(flt))} == {"1", "2"}

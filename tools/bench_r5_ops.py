@@ -97,6 +97,29 @@ def main():
             ).first(),
         )
 
+    if not only or "spans" in only:
+        from pprl_spark.spark.substring import duplicate_span_stats
+
+        # 100k docs ~800B each; every 50th doc quotes a shared passage
+        passage = "shared verbatim passage that should be fingerprinted "
+        docs = spark.range(100_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("prefix prose " * 20),
+                F.when(F.col("id") % 50 == 0, F.lit(passage * 3))
+                .otherwise(F.concat(F.lit("unique body "), F.col("id").cast("string"), F.lit(" "))),
+                F.lit("suffix prose " * 20),
+            ).alias("text"),
+        )
+        timed(
+            "duplicate_span_stats 100k docs (~80MB text, k=25 w=25)",
+            lambda: duplicate_span_stats(docs)
+            .agg(
+                F.sum("n_fingerprints"),
+                F.sum((F.col("dup_fraction") > 0).cast("long")),
+            ).first(),
+        )
+
     if not only or "warc" in only:
         import tempfile
 
