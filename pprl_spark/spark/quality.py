@@ -54,36 +54,89 @@ def _words(col: Column) -> Column:
     return F.filter(F.split(col, r"\s+"), lambda w: w != "")
 
 
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE and hand it to ``fn`` as a bound lambda
+    variable.  Higher-order functions are CodegenFallback, so a subtree
+    like ``split+filter`` referenced N times inside one expression is
+    re-evaluated interpreted N times (the lang_id_col trap, r5 measured:
+    42 ``split(`` occurrences in the quality_filter plan).  Wrapping the
+    subtree in a one-element array and referencing the ``transform``
+    lambda variable makes every reference a variable read."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def _dup_unit_fraction(units: Column) -> Column:
+    """1 − distinct/total over an array of units, 0.0 when empty; the
+    array subtree is evaluated once (see :func:`_bind`)."""
+    return _bind(
+        units,
+        lambda u: F.when(F.size(u) <= 0, F.lit(0.0)).otherwise(
+            (F.lit(1.0) - F.size(F.array_distinct(u)) / F.size(u)).cast(
+                "double"
+            )
+        ),
+    )
+
+
+def _lines(col: Column) -> Column:
+    return F.filter(F.split(col, r"\n"), lambda s: F.trim(s) != "")
+
+
+def _paras(col: Column) -> Column:
+    return F.filter(F.split(col, r"\n{2,}"), lambda s: F.trim(s) != "")
+
+
+def _dup_frac_of(u: Column) -> Column:
+    """dup fraction over an ALREADY-BOUND unit array (lambda variable)."""
+    return F.when(F.size(u) <= 0, F.lit(0.0)).otherwise(
+        (F.lit(1.0) - F.size(F.array_distinct(u)) / F.size(u)).cast("double")
+    )
+
+
+def _scalar_signals(col: Column, with_para: bool) -> Column:
+    """ONE-evaluation struct of every scalar (per-row) quality signal:
+    n_tokens, quality, dup_word_fraction, dup_line_fraction and
+    (``with_para``) dup_paragraph_fraction.  The words/lines/paras split
+    arrays are each computed exactly once per row and shared across the
+    signals via a bound lambda variable (see :func:`_bind`); field values
+    are bit-identical to the standalone signal functions."""
+    members = [_words(col).alias("w"), _lines(col).alias("l")]
+    if with_para:
+        members.append(_paras(col).alias("p"))
+
+    def _mk(s: Column) -> Column:
+        n = F.size(s["w"]).cast("long")
+        fields = [
+            n.alias("n_tokens"),
+            quality_score(col, n_words=n).alias("quality"),
+            _dup_frac_of(s["w"]).alias("dup_word_fraction"),
+            _dup_frac_of(s["l"]).alias("dup_line_fraction"),
+        ]
+        if with_para:
+            fields.append(_dup_frac_of(s["p"]).alias("dup_paragraph_fraction"))
+        return F.struct(*fields)
+
+    return _bind(F.struct(*members), _mk)
+
+
 def dup_word_fraction(col: Column | str) -> Column:
     """1 − distinct/total over whitespace words (0.0 for empty text) —
     high values mean the document repeats its own vocabulary."""
     col = F.col(col) if isinstance(col, str) else col
-    w = _words(col)
-    n = F.size(w)
-    return F.when(n <= 0, F.lit(0.0)).otherwise(
-        (F.lit(1.0) - F.size(F.array_distinct(w)) / n).cast("double")
-    )
+    return _dup_unit_fraction(_words(col))
 
 
 def dup_line_fraction(col: Column | str) -> Column:
     """1 − distinct/total over newline-split lines (0.0 when ≤1 line)."""
     col = F.col(col) if isinstance(col, str) else col
-    lines = F.filter(F.split(col, r"\n"), lambda s: F.trim(s) != "")
-    n = F.size(lines)
-    return F.when(n <= 0, F.lit(0.0)).otherwise(
-        (F.lit(1.0) - F.size(F.array_distinct(lines)) / n).cast("double")
-    )
+    return _dup_unit_fraction(_lines(col))
 
 
 def dup_paragraph_fraction(col: Column | str) -> Column:
     """1 − distinct/total over blank-line-separated paragraphs (Gopher
     'duplicate paragraph fraction'; 0.0 when ≤1 paragraph)."""
     col = F.col(col) if isinstance(col, str) else col
-    paras = F.filter(F.split(col, r"\n{2,}"), lambda s: F.trim(s) != "")
-    n = F.size(paras)
-    return F.when(n <= 0, F.lit(0.0)).otherwise(
-        (F.lit(1.0) - F.size(F.array_distinct(paras)) / n).cast("double")
-    )
+    return _dup_unit_fraction(_paras(col))
 
 
 def line_dup_stats(
@@ -306,42 +359,52 @@ def ngram_char_stats(
         # small-scan guard (see dedup._banded): the explode otherwise
         # runs on the parquet scan's 1-4 splits
         df = df.repartition(parallelism)
-    words = _words(F.col(text_col))
-    nw = F.size(words)
-
-    def _grams(n: int) -> Column:
-        # NB: the lambda must take exactly ONE parameter — F.transform
-        # inspects the arity and passes (element, index) to two-parameter
-        # lambdas, so a `n=n` default-arg capture would be silently
-        # shadowed by the index column
-        def _window(i: Column) -> Column:
-            return F.struct(
-                F.lit(n).alias("n"),
-                F.concat_ws(" ", F.slice(words, i, n)).alias("g"),
-            )
-
-        return F.when(
-            nw >= n, F.transform(F.sequence(F.lit(1), nw - n + 1), _window)
-        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
-
-    lanes = [_grams(n) for n in all_ns]
+    col = F.col(text_col)
+    members = [_words(col).alias("w")]
     if with_line_paragraph:
-        col = F.col(text_col)
-        lines = F.filter(F.split(col, r"\n"), lambda x: F.trim(x) != "")
-        paras = F.filter(F.split(col, r"\n{2,}"), lambda x: F.trim(x) != "")
-        lanes.append(
-            F.transform(
-                lines, lambda x: F.struct(F.lit(0).alias("n"), x.alias("g"))
+        members.extend([_lines(col).alias("l"), _paras(col).alias("p")])
+
+    def _all_lanes(s: Column) -> Column:
+        # s binds the split arrays ONCE per row (see _bind) — without the
+        # binding, the `words` subtree inside each window lambda below is
+        # a free subtree that interpreted higher-order eval re-splits the
+        # text for at EVERY window of every lane: O(lanes·words²) char
+        # work per document (r5, measured as 27 split( nodes in the plan)
+        w = s["w"]
+        nw = F.size(w)
+
+        def _grams(n: int) -> Column:
+            # NB: the lambda must take exactly ONE parameter — F.transform
+            # inspects the arity and passes (element, index) to
+            # two-parameter lambdas, so a `n=n` default-arg capture would
+            # be silently shadowed by the index column
+            def _window(i: Column) -> Column:
+                return F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", F.slice(w, i, n)).alias("g"),
+                )
+
+            return F.when(
+                nw >= n, F.transform(F.sequence(F.lit(1), nw - n + 1), _window)
+            ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+        lanes = [_grams(n) for n in all_ns]
+        if with_line_paragraph:
+            lanes.append(
+                F.transform(
+                    s["l"], lambda x: F.struct(F.lit(0).alias("n"), x.alias("g"))
+                )
             )
-        )
-        lanes.append(
-            F.transform(
-                paras, lambda x: F.struct(F.lit(1).alias("n"), x.alias("g"))
+            lanes.append(
+                F.transform(
+                    s["p"], lambda x: F.struct(F.lit(1).alias("n"), x.alias("g"))
+                )
             )
-        )
+        return F.flatten(F.array(*lanes))
+
     exploded = df.select(
         F.col(id_col),
-        F.explode(F.flatten(F.array(*lanes))).alias("ng"),
+        F.explode(_bind(F.struct(*members), _all_lanes)).alias("ng"),
     ).select(id_col, F.col("ng.n").alias("__n"), F.col("ng.g").alias("__g"))
     per_gram = (
         exploded.groupBy(id_col, "__n", "__g")
@@ -429,6 +492,149 @@ def ngram_char_stats(
                 .alias(alias)
             )
     return joined.select(*out_cols)
+
+
+def _lane_run_stats(arr: Column) -> Column:
+    """Run-length statistics over ONE document's gram/unit array, as a
+    single Catalyst ``aggregate`` over the sorted array — the per-row
+    (zero-shuffle) equivalent of the (id, gram) hash aggregate in
+    :func:`ngram_char_stats`:
+
+    * ``best`` — max over grams of ``count·2^30 + min(len, 2^30−1)``
+      (the modal-gram packing, ties by longest gram),
+    * ``num`` / ``den`` — duplicated / total occurrence char mass,
+    * ``maxrun`` — modal count, ``cnt`` — total occurrences.
+
+    Sorting clusters equal grams so one O(n) walk yields exact counts;
+    any total order works (only equality matters).  NULL array → NULL
+    struct (callers coalesce to 0.0, mirroring the agg form's left-join
+    NULLs)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+        F.lit(0).cast("bigint").alias("num"),
+        F.lit(0).cast("bigint").alias("den"),
+        F.lit(0).cast("bigint").alias("maxrun"),
+        F.lit(0).cast("bigint").alias("cnt"),
+    )
+
+    def _step(acc: Column, g: Column) -> Column:
+        ln = F.least(F.length(g), F.lit(_PACK - 1)).cast("bigint")
+        run = F.when(acc["prev"].eqNullSafe(g), acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * _PACK + ln).alias("best"),
+            (
+                acc["num"]
+                + F.when(run == 2, 2 * ln)
+                .when(run > 2, ln)
+                .otherwise(F.lit(0).cast("bigint"))
+            ).alias("num"),
+            (acc["den"] + ln).alias("den"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+            (acc["cnt"] + 1).alias("cnt"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, _step)
+
+
+def ngram_char_stats_col(
+    col: Column | str,
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+    with_top_bigram_occurrence: bool = False,
+    with_line_paragraph: bool = False,
+) -> Column:
+    """Per-row STRUCT of the same Gopher n-gram signals as
+    :func:`ngram_char_stats` (field values bit-identical), as ONE pure
+    Catalyst projection — ZERO shuffle.
+
+    Every signal here is a function of a single document, so the
+    explode → (id, gram) hash aggregate → per-id aggregate → join-back
+    shape of :func:`ngram_char_stats` shuffles ~2× the corpus size only
+    to count *within* each document.  This form sorts each per-row gram
+    array (``array_sort``, O(g log g) JVM-side) and walks runs with one
+    ``aggregate`` (see :func:`_lane_run_stats`) — at 100 TB the filter
+    stage becomes map-only.  Trade-off: a single pathological document's
+    gram array must fit in one task (the agg form spreads one document's
+    grams across reducers); keep the shuffle form for corpora with
+    multi-GB single documents."""
+    col = F.col(col) if isinstance(col, str) else col
+    all_ns = sorted({int(n) for n in (*top_ns, *dup_ns)})
+    if with_top_bigram_occurrence and 2 not in all_ns:
+        all_ns = sorted([2, *all_ns])
+    if not all_ns or min(all_ns) < 2:
+        raise ValueError("n-gram sizes must be >= 2")
+    members = [_words(col).alias("w")]
+    if with_line_paragraph:
+        members.extend([_lines(col).alias("l"), _paras(col).alias("p")])
+    tlen = F.length(col)
+
+    def _stats(s: Column) -> Column:
+        w = s["w"]
+        nw = F.size(w)
+
+        def _grams(n: int) -> Column:
+            def _window(i: Column) -> Column:
+                return F.concat_ws(" ", F.slice(w, i, n))
+
+            return F.when(
+                nw >= n, F.transform(F.sequence(F.lit(1), nw - n + 1), _window)
+            ).otherwise(F.array().cast("array<string>"))
+
+        lanes = [_lane_run_stats(_grams(n)).alias(f"s{n}") for n in all_ns]
+        if with_line_paragraph:
+            lanes.append(_lane_run_stats(s["l"]).alias("sl"))
+            lanes.append(_lane_run_stats(s["p"]).alias("sp"))
+        return F.struct(*lanes)
+
+    def _finish(st: Column) -> Column:
+        fields = []
+        for n in top_ns:
+            best = st[f"s{n}"]["best"]
+            fields.append(
+                F.when(
+                    best.isNull() | (best <= 0) | (tlen <= 0), F.lit(0.0)
+                )
+                .otherwise(
+                    (F.shiftright(best, 30) * (best % _PACK) / tlen).cast(
+                        "double"
+                    )
+                )
+                .alias(f"top_{n}gram_char_frac")
+            )
+        for n in dup_ns:
+            num, den = st[f"s{n}"]["num"], st[f"s{n}"]["den"]
+            fields.append(
+                F.when(den.isNull() | (den <= 0), F.lit(0.0))
+                .otherwise((num / den).cast("double"))
+                .alias(f"dup_{n}gram_char_frac")
+            )
+        if with_top_bigram_occurrence:
+            mx, tot = st["s2"]["maxrun"], st["s2"]["cnt"]
+            fields.append(
+                F.when(tot.isNull() | (tot <= 0), F.lit(0.0))
+                .otherwise((mx / tot).cast("double"))
+                .alias("top_bigram_fraction")
+            )
+        if with_line_paragraph:
+            for key, alias in (("sl", "dup_line_char_frac"), ("sp", "dup_para_char_frac")):
+                num = st[key]["num"]
+                fields.append(
+                    F.when(num.isNull() | (tlen <= 0), F.lit(0.0))
+                    .otherwise((num / tlen).cast("double"))
+                    .alias(alias)
+                )
+        return F.struct(*fields)
+
+    # two-level bind: the split arrays evaluate once, then the 9-11 lane
+    # aggregate structs evaluate once each before the final fractions
+    # reference them (each finish field reads 1-2 lane fields)
+    return _bind(_bind(F.struct(*members), _stats), _finish)
 
 
 def ngram_char_stats_udf(
@@ -519,47 +725,76 @@ def filter_documents(
     rules: FilterRules = FilterRules(),
     id_col: str = "doc_id",
     text_col: str = "text",
+    ngram_mode: str = "project",
 ) -> DataFrame:
     """Quality-filter decision per document: signals + ``keep`` boolean +
     ``reject_reason`` ('ok' when kept — NULL-free by design so the frame
     survives engine-comparison hashing)."""
-    scalar_cols = {
-        "n_tokens": whitespace_token_count(F.col(text_col)),
-        "quality": quality_score(F.col(text_col)),
-        "lang_pred": lang_id_col(F.col(text_col)),
-    }
-    if rules.max_dup_paragraph_fraction < 1.0:
-        scalar_cols["dup_paragraph_fraction"] = dup_paragraph_fraction(
-            F.col(text_col)
-        )
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        # small-scan guard (see ngram_char_stats): the scalar-signal
+        # projection (split-heavy, interpreted higher-order exprs) is
+        # expensive map-side work and otherwise runs serialized on the
+        # parquet scan's 1-4 splits at test scale factors; no-op at
+        # production split counts
+        df = df.repartition(parallelism)
+    with_para = rules.max_dup_paragraph_fraction < 1.0
+    # every scalar signal rides ONE struct evaluated once per row (one
+    # words/lines/paras split each — see _scalar_signals); the struct
+    # column is non-cheap so CollapseProject keeps it materialized below
+    # the per-field extraction projection
+    sig_names = ["n_tokens", "quality", "dup_word_fraction", "dup_line_fraction"]
+    if with_para:
+        sig_names.append("dup_paragraph_fraction")
+    narrow = df.withColumn(
+        "__sc", _scalar_signals(F.col(text_col), with_para)
+    ).select(
+        *[F.col(c) for c in df.columns],
+        *[F.col("__sc")[n].alias(n) for n in sig_names],
+        lang_id_col(F.col(text_col)).alias("lang_pred"),
+    )
     needs_units = (
         rules.max_dup_line_char_fraction < 1.0
         or rules.max_dup_paragraph_char_fraction < 1.0
     )
     if rules.max_top_ngram_fraction or rules.max_dup_ngram_fraction:
-        # one shared explode pass serves the whole n-gram family, the
-        # legacy top-bigram occurrence signal AND (when configured) the
-        # line/paragraph char-mass signals — no separate bigram or
-        # line scan
-        narrow = df.withColumns(
-            {
-                "dup_word_fraction": dup_word_fraction(F.col(text_col)),
-                "dup_line_fraction": dup_line_fraction(F.col(text_col)),
-                **scalar_cols,
-            }
-        )
-        ng = ngram_char_stats(
-            df,
-            id_col,
-            text_col,
+        ng_kw = dict(
             top_ns=tuple(n for n, _ in rules.max_top_ngram_fraction),
             dup_ns=tuple(n for n, _ in rules.max_dup_ngram_fraction),
             with_top_bigram_occurrence=True,
             with_line_paragraph=needs_units,
         )
-        sig = narrow.join(ng, id_col, "left")
+        if ngram_mode == "project":
+            # default: the whole n-gram family, the legacy top-bigram
+            # occurrence signal AND (when configured) the line/paragraph
+            # char-mass signals as ONE per-row struct — zero shuffle, no
+            # join; the filter stage is map-only end-to-end (r5 measured
+            # ~5x faster than the explode+agg at sf0.1, cold and warm)
+            sig = narrow.withColumn(
+                "__ng", ngram_char_stats_col(F.col(text_col), **ng_kw)
+            )
+            ng_fields = [f for f in sig.schema["__ng"].dataType.fieldNames()]
+            sig = sig.select(
+                *[F.col(c) for c in narrow.columns],
+                *[F.col("__ng")[f].alias(f) for f in ng_fields],
+            )
+        elif ngram_mode == "shuffle":
+            # explode + (id, gram) hash aggregate + join back: one gram
+            # shuffle, but a single document's grams spread across
+            # reducers — keep for corpora with pathological multi-GB
+            # single documents whose gram arrays won't fit in one task
+            ng = ngram_char_stats(df, id_col, text_col, **ng_kw)
+            sig = narrow.join(ng, id_col, "left")
+        else:
+            raise ValueError(
+                f"ngram_mode must be 'project' or 'shuffle', got {ngram_mode!r}"
+            )
     else:
-        sig = repetition_stats(df, id_col, text_col).withColumns(scalar_cols)
+        tops = _top_bigram_per_doc(df, id_col, text_col)
+        sig = narrow.join(tops, id_col, "left").withColumn(
+            "top_bigram_fraction",
+            F.coalesce("top_bigram_fraction", F.lit(0.0)),
+        )
         if needs_units:
             sig = sig.join(line_dup_stats(df, id_col, text_col), id_col, "left")
     return _decide(sig, rules)

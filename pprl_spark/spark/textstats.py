@@ -73,13 +73,19 @@ def stopword_ratio(col: Column | str) -> Column:
     return (hits / F.greatest(F.size(words), F.lit(1))).cast("double")
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(col: Column | str, n_words: Column | None = None) -> Column:
     """Heuristic document quality in [0,1]: length band + moderate
     punctuation + mean word length band.  Deliberately simple, fully
-    SQL-expressible (oracle-checkable)."""
+    SQL-expressible (oracle-checkable).
+
+    ``n_words`` may be supplied when the caller already has the
+    whitespace token count (e.g. a fused signal struct sharing one
+    split — quality._scalar_signals); it must equal
+    :func:`whitespace_token_count` of the same column."""
     col = _as_col(col)
     n_chars = F.length(col)
-    n_words = whitespace_token_count(col)
+    if n_words is None:
+        n_words = whitespace_token_count(col)
     mean_word = n_chars / F.greatest(n_words, F.lit(1))
     len_ok = F.when((n_chars >= 20) & (n_chars <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
     punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))

@@ -2512,3 +2512,74 @@ def test_stream_job_boilerplate_stage(spark, tmp_path):
     # CLEANED text, so all four distinct bodies survive
     got = spark.read.parquet(out).collect()
     assert len(got) == 4
+
+
+# ---------------------------------------------------------------------------
+# r5 late: per-row (zero-shuffle) n-gram stats parity with the explode+agg
+# form, including the edge rows the sf corpus never exercises
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_char_stats_col_matches_shuffle_form(spark):
+    from pprl_spark.spark.quality import ngram_char_stats, ngram_char_stats_col
+
+    rows = [
+        (0, "the cat sat on the mat the cat sat on the mat again and again"),
+        (1, "one two three four five six seven eight nine ten eleven twelve"),
+        (2, "dup dup dup dup dup dup dup dup dup dup dup dup"),
+        (3, ""),
+        (4, None),
+        (5, "single"),
+        (6, "a b"),
+        (7, "line one\nline one\nline two\n\npara\n\npara"),
+        (8, "  \n \n  "),  # whitespace only
+        (9, "x " * 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(
+        top_ns=(2, 3, 4),
+        dup_ns=(5, 6, 7, 8, 9, 10),
+        with_top_bigram_occurrence=True,
+        with_line_paragraph=True,
+    )
+    agg = {r["doc_id"]: r.asDict() for r in
+           ngram_char_stats(df, "doc_id", "text", **kw).collect()}
+    col = {r["doc_id"]: r.asDict() for r in
+           df.select("doc_id", ngram_char_stats_col(F.col("text"), **kw)
+                     .alias("s")).select("doc_id", "s.*").collect()}
+    assert set(agg) == set(col)
+    for k in agg:
+        assert agg[k] == col[k], (k, agg[k], col[k])
+
+
+def test_filter_documents_ngram_modes_agree(spark):
+    from pprl_spark.spark.quality import FilterRules, filter_documents
+
+    rows = [(i, t) for i, t in enumerate([
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "spam spam spam spam spam spam spam spam spam spam spam spam spam",
+        "short",
+        None,
+        "l1\nl1\nl1\nl2\n\npp\n\npp quality words here and there everywhere",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rules = FilterRules(
+        min_tokens=3,
+        max_dup_word_fraction=0.5,
+        max_top_bigram_fraction=0.5,
+        max_top_ngram_fraction=((2, 0.20), (3, 0.18), (4, 0.16)),
+        max_dup_ngram_fraction=((5, 0.15), (8, 0.12), (10, 0.10)),
+        max_dup_line_fraction=0.30,
+        max_dup_paragraph_fraction=0.30,
+        max_dup_line_char_fraction=0.20,
+        max_dup_paragraph_char_fraction=0.20,
+    )
+    a = {r["doc_id"]: r.asDict() for r in
+         filter_documents(df, rules, ngram_mode="project").collect()}
+    b = {r["doc_id"]: r.asDict() for r in
+         filter_documents(df, rules, ngram_mode="shuffle").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])
+    with pytest.raises(ValueError, match="ngram_mode"):
+        filter_documents(df, rules, ngram_mode="nope")
