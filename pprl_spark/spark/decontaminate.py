@@ -29,8 +29,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .textstats import bind_once
+
 __all__ = [
     "word_ngram_hashes",
+    "word_ngrams",
     "contamination_report",
     "decontaminate",
     "eval_gram_set",
@@ -44,14 +47,21 @@ def word_ngram_hashes(col: Column | str, n: int = 13) -> Column:
     lowercased) — [] for documents with fewer than ``n`` words."""
     col = F.col(col) if isinstance(col, str) else col
     words = F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
-    k = F.size(words)
-    return F.when(
-        k >= n,
-        F.transform(
-            F.sequence(F.lit(1), k - (n - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+
+    def _windows(w: Column) -> Column:
+        # w binds the split array ONCE per row (textstats.bind_once);
+        # as a free subtree it would be re-split at every window —
+        # O(words²) per document (the quality.py r5 lesson)
+        k = F.size(w)
+        return F.when(
+            k >= n,
+            F.transform(
+                F.sequence(F.lit(1), k - (n - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    return bind_once(words, _windows)
 
 
 def contamination_report(
@@ -108,17 +118,43 @@ def decontaminate(
 
 # ------------------------------------------------------------- streaming
 
+def word_ngrams(col: Column | str, n: int = 13) -> Column:
+    """array<string>: each word ``n``-gram (space-joined, lowercased) —
+    [] for documents with fewer than ``n`` words.  The string twin of
+    :func:`word_ngram_hashes` (which hashes map-side so gram strings
+    never shuffle); this form exists for consumers that need the gram
+    VALUES, like the streaming broadcast set."""
+    col = F.col(col) if isinstance(col, str) else col
+    words = F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+
+    def _windows(w: Column) -> Column:
+        k = F.size(w)
+        return F.when(
+            k >= n,
+            F.transform(
+                F.sequence(F.lit(1), k - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(words, _windows)
+
+
 def eval_gram_set(eval_df: DataFrame, text_col: str = "text", n: int = 13):
-    """Distinct eval-side n-gram hashes as a driver-side frozenset — the
+    """Distinct eval-side n-gram STRINGS as a driver-side frozenset — the
     broadcast payload for the streaming filter.  Eval sets are small by
-    this operator's contract (benchmarks are MBs; the collect is of
-    8-byte hashes, deduplicated on the executors first), so this is the
-    one place a ``collect()`` is the RIGHT scale call — the training
-    side never leaves the cluster."""
+    this operator's contract (benchmarks are MBs; grams are deduplicated
+    on the executors first), so this is the one place a ``collect()`` is
+    the RIGHT scale call — the training side never leaves the cluster.
+
+    Strings, not hashes: the streaming membership test runs in a pandas
+    UDF, and a ``bind_once``-shaped Catalyst argument (nested lambdas
+    capturing an outer lambda variable) breaks Python-UDF extraction in
+    streaming plans (r5, measured: [INTERNAL_ERROR] Cannot evaluate
+    PythonUDF) — so the stream side tokenizes in Python and needs the
+    gram values, not Spark-side xxhash64 values."""
     rows = (
-        eval_df.select(
-            F.explode(word_ngram_hashes(F.col(text_col), n)).alias("__g")
-        )
+        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("__g"))
         .distinct()
         .collect()
     )
@@ -128,25 +164,42 @@ def eval_gram_set(eval_df: DataFrame, text_col: str = "text", n: int = 13):
 def streaming_contamination_hits(
     text_col: Column | str, gram_set, spark, n: int = 13
 ) -> Column:
-    """``n_gram_hits`` as a STATELESS column over a streaming frame:
-    the n-gram hash array is computed JVM-side (``word_ngram_hashes``,
-    pure Catalyst), then an Arrow-vectorized UDF counts distinct members
-    of the broadcast eval set.  No explode, no state store, no
-    stream-static join — the stream plan stays a projection, exactly like
-    ``streaming_quality_filter``.  Row-identical to the batch
-    ``contamination_report`` (which uses a broadcast semi-join for the
-    same membership test)."""
+    """``n_gram_hits`` as a STATELESS column over a streaming frame: one
+    Arrow-vectorized UDF takes the raw text (a plain attribute — no
+    higher-order-function argument, see :func:`eval_gram_set`), splits
+    with the Java ``\\s+`` (ASCII) convention mirroring the batch
+    tokenizer, and counts distinct n-grams present in the broadcast eval
+    set.  No explode, no state store, no stream-static join — the stream
+    plan stays a projection, exactly like ``streaming_quality_filter``.
+    Decision-identical to the batch ``contamination_report`` (string
+    membership vs its 64-bit-hash semi-join differs only on xxhash64
+    collisions, ~|grams|²/2⁶⁵)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
     bc = spark.sparkContext.broadcast(frozenset(gram_set))
-    grams = word_ngram_hashes(text_col, n)
 
     @F.pandas_udf("long")
-    def _hits(arrays: pd.Series) -> pd.Series:
-        s = bc.value
-        return arrays.map(
-            lambda arr: len({int(g) for g in arr if int(g) in s})
-        ).astype("int64")
+    def _hits(texts: pd.Series) -> pd.Series:
+        import re
 
-    return _hits(grams)
+        s = bc.value
+        # Java regex \s is ASCII-only; python str.split() would split on
+        # unicode whitespace and flip decisions vs batch (ADVICE r4)
+        java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+        def one(t) -> int:
+            words = [w for w in java_ws.split((t or "").lower()) if w]
+            if len(words) < n:
+                return 0
+            seen = set()
+            for i in range(len(words) - n + 1):
+                g = " ".join(words[i : i + n])
+                if g in s:
+                    seen.add(g)
+            return len(seen)
+
+        return texts.map(one).astype("int64")
+
+    return _hits(col)
 
 
 def streaming_decontaminate(

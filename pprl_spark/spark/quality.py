@@ -31,7 +31,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import lang_id_col, quality_score, whitespace_token_count
+from .textstats import (
+    bind_once,
+    lang_id_col,
+    quality_score,
+    whitespace_token_count,
+)
 
 __all__ = [
     "FilterRules",
@@ -54,15 +59,7 @@ def _words(col: Column) -> Column:
     return F.filter(F.split(col, r"\s+"), lambda w: w != "")
 
 
-def _bind(expr: Column, fn) -> Column:
-    """Evaluate ``expr`` ONCE and hand it to ``fn`` as a bound lambda
-    variable.  Higher-order functions are CodegenFallback, so a subtree
-    like ``split+filter`` referenced N times inside one expression is
-    re-evaluated interpreted N times (the lang_id_col trap, r5 measured:
-    42 ``split(`` occurrences in the quality_filter plan).  Wrapping the
-    subtree in a one-element array and referencing the ``transform``
-    lambda variable makes every reference a variable read."""
-    return F.element_at(F.transform(F.array(expr), fn), 1)
+_bind = bind_once  # shared helper, see textstats.bind_once
 
 
 def _dup_unit_fraction(units: Column) -> Column:

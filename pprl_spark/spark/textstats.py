@@ -47,6 +47,20 @@ def _as_col(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and hand it to ``fn`` as a bound
+    lambda variable.  Higher-order functions are CodegenFallback: a free
+    subtree (e.g. split+filter) referenced N times inside one expression
+    — including once per element of a ``transform`` window loop — is
+    re-evaluated interpreted each time, turning window construction
+    quadratic.  Wrapping the subtree in a one-element array and
+    referencing the ``transform`` lambda variable makes every reference a
+    variable read (r5: cut the quality_filter plan from 42 ``split(``
+    nodes to 7 and the n-gram explode child from O(lanes·words²) to
+    O(lanes·words))."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def whitespace_token_count(col: Column | str) -> Column:
     col = _as_col(col)
     return F.size(F.filter(F.split(col, r"\s+"), lambda w: w != "")).cast("long")
@@ -69,8 +83,13 @@ def stopword_ratio(col: Column | str) -> Column:
     """Fraction of whitespace tokens that are (any-language) stopwords."""
     words = F.filter(F.split(F.lower(_as_col(col)), r"\s+"), lambda w: w != "")
     sw = F.array(*[F.lit(w) for w in ALL_STOPWORDS])
-    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
-    return (hits / F.greatest(F.size(words), F.lit(1))).cast("double")
+    return bind_once(
+        words,
+        lambda ws: (
+            F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+            / F.greatest(F.size(ws), F.lit(1))
+        ).cast("double"),
+    )
 
 
 def quality_score(col: Column | str, n_words: Column | None = None) -> Column:
@@ -104,11 +123,18 @@ def rolling_fingerprints(col: Column | str, window: int = 4) -> Column:
     ``window``-grams (shingle fingerprints for containment detection) —
     pure Catalyst: slide over the word array and hash each window."""
     words = F.filter(F.split(_as_col(col), r"\s+"), lambda w: w != "")
-    n = F.size(words)
-    starts = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))
-    return F.transform(
-        starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, window)))
-    )
+
+    def _windows(ws: Column) -> Column:
+        # ws binds the split array once per row (see bind_once) — as a
+        # free subtree it would be re-split at every window (O(words²))
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(ws) - (window - 1), F.lit(1))
+        )
+        return F.transform(
+            starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, i, window)))
+        )
+
+    return bind_once(words, _windows)
 
 
 def lang_id_col(col: Column | str) -> Column:

@@ -41,6 +41,8 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .textstats import bind_once
+
 __all__ = [
     "extract_text_col",
     "extract_text_udf",
@@ -393,20 +395,35 @@ def _apply_banned(
     """Map-side line filter against a joined ``__banned`` array column;
     appends ``n_lines_removed`` and rewrites ``out_col``."""
     lines = F.split(F.col(text_col), r"\n")
-    kept = F.filter(
+
+    def _kept(ls: Column) -> Column:
+        return F.filter(
+            ls,
+            lambda l: (F.trim(l) == "")
+            | ~F.array_contains(
+                F.coalesce(F.col("__banned"), F.array().cast("array<bigint>")),
+                F.xxhash64(l),
+            ),
+        )
+
+    # nested bind_once: the split array and the filtered array each
+    # evaluate ONCE per row — as free subtrees the O(lines·banned)
+    # filter would run twice (size + join) and the split three times
+    bound = bind_once(
         lines,
-        lambda l: (F.trim(l) == "")
-        | ~F.array_contains(
-            F.coalesce(F.col("__banned"), F.array().cast("array<bigint>")),
-            F.xxhash64(l),
+        lambda ls: bind_once(
+            _kept(ls),
+            lambda k: F.struct(
+                (F.size(ls) - F.size(k)).cast("int").alias("nrem"),
+                F.array_join(k, "\n").alias("txt"),
+            ),
         ),
     )
     return (
-        joined.withColumn(
-            "n_lines_removed", (F.size(lines) - F.size(kept)).cast("int")
-        )
-        .withColumn(out_col, F.array_join(kept, "\n"))
-        .drop("__banned")
+        joined.withColumn("__bl", bound)
+        .withColumn("n_lines_removed", F.col("__bl")["nrem"])
+        .withColumn(out_col, F.col("__bl")["txt"])
+        .drop("__bl", "__banned")
     )
 
 
