@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import WeightedAttributeConfig
+from .textstats import bind_once
 
 __all__ = [
     "padded_qgram_tokens",
@@ -48,18 +49,25 @@ def padded_qgram_tokens(col, q: int = 2, padding: str = "_"):
     # tokens and shift estimated weights on nullable columns (ADVICE r2).
     # The inner when() guards sequence()'s descending-range behavior when
     # the padded value is shorter than q (possible with empty padding):
-    # the reference tokenizer returns the empty set there.
+    # the reference tokenizer returns the empty set there.  ``padded`` is
+    # bound once per row (textstats.bind_once): as a free subtree the
+    # concat would re-run at EVERY window — O(len²) per value.
     return F.when(
         col.isNull(), F.lit(None).cast("array<string>")
-    ).when(
-        F.length(padded) >= q,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(padded) - (q - 1)),
-                lambda i: F.substring(padded, i, q),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(
+        bind_once(
+            padded,
+            lambda p: F.when(
+                F.length(p) >= q,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(p) - (q - 1)),
+                        lambda i: F.substring(p, i, q),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
 
 
 def qgram_windows(col, q: int = 2, padding: str = "_"):
@@ -72,16 +80,22 @@ def qgram_windows(col, q: int = 2, padding: str = "_"):
     col = F.col(col) if isinstance(col, str) else col
     pad = F.lit(padding * (q - 1))
     padded = F.concat(pad, col, pad)
-    # NULL input → NULL (explode drops it), mirroring padded_qgram_tokens
+    # NULL input → NULL (explode drops it), mirroring padded_qgram_tokens;
+    # padded bound once (see padded_qgram_tokens)
     return F.when(
         col.isNull(), F.lit(None).cast("array<string>")
-    ).when(
-        F.length(padded) >= q,
-        F.transform(
-            F.sequence(F.lit(1), F.length(padded) - (q - 1)),
-            lambda i: F.substring(padded, i, q),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(
+        bind_once(
+            padded,
+            lambda p: F.when(
+                F.length(p) >= q,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(p) - (q - 1)),
+                    lambda i: F.substring(p, i, q),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
 
 
 def with_tokens(df: DataFrame, column: str, q: int = 2, padding: str = "_",
