@@ -78,9 +78,15 @@ def contamination_report(
     ``eval_df`` needs only ``text_col``.  ``n_gram_hits`` counts DISTINCT
     overlapping n-grams (a benchmark sentence repeated through the corpus
     still counts once per document)."""
+    # per-row distinct (each document is one row, so array_distinct ≡ the
+    # old dropDuplicates([id, gram]) but without its full (id, hash)
+    # shuffle — linear, map-side; see dedup.qgram_raw_windows r5 note)
     train_grams = train_df.select(
-        F.col(id_col), F.explode(word_ngram_hashes(F.col(text_col), n)).alias("__g")
-    ).dropDuplicates([id_col, "__g"])
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngram_hashes(F.col(text_col), n))).alias(
+            "__g"
+        ),
+    )
     eval_grams = eval_df.select(
         F.explode(word_ngram_hashes(F.col(text_col), n)).alias("__g")
     ).distinct()
