@@ -190,12 +190,17 @@ def minhash_lsh_pairs(
         # a full-corpus shuffle and coalesce DOWN.
         if frame.rdd.getNumPartitions() < n_parts:
             frame = frame.repartition(n_parts)
-        # raw windows, duplicates kept: a duplicate gram cannot change any
-        # min_j, and exploding the distinct array would re-evaluate the
-        # dedup per output row (see qgram_raw_windows)
+        # per-row distinct grams: a duplicate gram cannot change any
+        # min_j, but every exploded row pays one md5 + 128 lane-min
+        # updates in the aggregate — array_distinct (linear JVM, safe to
+        # explode on Spark 4.1.2, see qgram_raw_windows) halves the
+        # aggregate's input on natural-language corpora (r5: 1.47M raw →
+        # 0.71M distinct gram rows at sf0.1)
         toks = frame.select(
             F.col(id_col).alias("__id"),
-            F.explode(qgram_raw_windows(F.col(text_col), q)).alias("__t"),
+            F.explode(F.array_distinct(qgram_raw_windows(F.col(text_col), q))).alias(
+                "__t"
+            ),
         )
         hexed = toks.select("__id", F.md5("__t").alias("__hx"))
         h1, h2 = _minhash_lanes(F.col("__hx"))
