@@ -2583,3 +2583,118 @@ def test_filter_documents_ngram_modes_agree(spark):
         assert a[k] == b[k], (k, a[k], b[k])
     with pytest.raises(ValueError, match="ngram_mode"):
         filter_documents(df, rules, ngram_mode="nope")
+
+
+def test_bind_once_equivalence_against_unbound_forms(spark):
+    """Every bind_once rewrite must be value-identical to the plain
+    (free-subtree) construction of the same expression — the unbound
+    forms below are the pre-r5 formulas, kept here as the semantic
+    oracle for the optimized library versions."""
+    from pprl_spark.spark.decontaminate import word_ngram_hashes, word_ngrams
+    from pprl_spark.spark.quality import (
+        dup_line_fraction,
+        dup_paragraph_fraction,
+        dup_word_fraction,
+    )
+    from pprl_spark.spark.stats import padded_qgram_tokens, qgram_windows
+    from pprl_spark.spark.textstats import rolling_fingerprints, stopword_ratio
+
+    texts = [
+        None, "", " ", "a", "ab", "a b", "a  b\t c",
+        "the the the the", "one two three four five six seven",
+        "l1\nl1\nl2", "p1\n\np1\n\np2", "\n\n\n", "  \n \n ",
+        "word\xa0nbsp emsp",          # unicode whitespace (NOT \s in Java)
+        "日本語 テキスト 処理 日本語",        # CJK multibyte
+        "emoji 🎉 test 🎉 emoji 🎉 test",
+        "x " * 50, ("repeat me " * 30).strip(),
+        "and the und der et le y el och att",  # stopwords, mixed langs
+        "trailing space ", " leading space",
+        "tab\tsep\tvals", "a\rb", "punct!!! ??? ... ;;;",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    c = F.col("text")
+
+    def unbound_dup(units):
+        n = F.size(units)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            (F.lit(1.0) - F.size(F.array_distinct(units)) / n).cast("double")
+        )
+
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    lines = F.filter(F.split(c, r"\n"), lambda s: F.trim(s) != "")
+    paras = F.filter(F.split(c, r"\n{2,}"), lambda s: F.trim(s) != "")
+
+    lwords = F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != "")
+    from pprl_spark.spark.textstats import ALL_STOPWORDS
+    sw = F.array(*[F.lit(w) for w in ALL_STOPWORDS])
+    unbound_stop = (
+        F.size(F.filter(lwords, lambda w: F.array_contains(sw, w)))
+        / F.greatest(F.size(lwords), F.lit(1))
+    ).cast("double")
+
+    nw = F.size(lwords)
+    n = 3
+    unbound_grams = F.when(
+        nw >= n,
+        F.transform(
+            F.sequence(F.lit(1), nw - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(lwords, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    window = 4
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words) - (window - 1), F.lit(1)))
+    unbound_roll = F.transform(
+        starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, window)))
+    )
+
+    q, padding = 2, "_"
+    pad = F.lit(padding * (q - 1))
+    padded = F.concat(pad, c, pad)
+    unbound_padded = F.when(
+        c.isNull(), F.lit(None).cast("array<string>")
+    ).when(
+        F.length(padded) >= q,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(padded) - (q - 1)),
+                lambda i: F.substring(padded, i, q),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    pairs = {
+        "dup_word": (dup_word_fraction(c), unbound_dup(words)),
+        "dup_line": (dup_line_fraction(c), unbound_dup(lines)),
+        "dup_para": (dup_paragraph_fraction(c), unbound_dup(paras)),
+        "stopword": (stopword_ratio(c), unbound_stop),
+        "ngrams": (word_ngrams(c, n), unbound_grams),
+        "ngram_hashes": (
+            word_ngram_hashes(c, n),
+            F.transform(unbound_grams, lambda g: F.xxhash64(g)),
+        ),
+        "rolling": (rolling_fingerprints(c, window), unbound_roll),
+        "padded_tokens": (padded_qgram_tokens(c, q, padding), unbound_padded),
+        "raw_windows": (
+            qgram_windows(c, q, padding),
+            F.when(c.isNull(), F.lit(None).cast("array<string>")).when(
+                F.length(padded) >= q,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(padded) - (q - 1)),
+                    lambda i: F.substring(padded, i, q),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+    }
+    sel = [F.col("id")]
+    for name, (bound, unbound) in pairs.items():
+        sel.append(bound.alias(f"b_{name}"))
+        sel.append(unbound.alias(f"u_{name}"))
+    for r in df.select(*sel).collect():
+        d = r.asDict()
+        for name in pairs:
+            assert d[f"b_{name}"] == d[f"u_{name}"], (
+                d["id"], name, d[f"b_{name}"], d[f"u_{name}"]
+            )
