@@ -9,15 +9,14 @@ ingestion and dedup.
 
 Scale notes:
 
-* ``dup_word_fraction`` / ``dup_line_fraction`` are pure Catalyst column
-  expressions (``array_distinct`` is linear in document length, no
-  shuffle).
-* ``top_bigram_fraction`` needs a per-document mode, which would be
-  quadratic as a column expression — it is computed by explode →
-  two-level hash aggregate keyed on (id, bigram) → join back: one
-  shuffle of slim (id, bigram-hash-sized) rows, uniform keys, linear
-  work.  At 100 TB this is the same shape as the tokenize/tf pass the
-  pipeline already runs.
+* Every signal — including the full n-gram family — is a per-document
+  computation, so the default filter plan is MAP-ONLY: one projection,
+  zero shuffles, no joins (r5; ``ngram_mode``).  The per-document mode
+  statistics use a sorted-gram run-length walk (``ngram_char_stats_col``,
+  linearithmic per document) or a C-speed Counter pass
+  (``ngram_mode="udf"``); the explode → (id, gram) hash aggregate →
+  join-back form survives as ``ngram_mode="shuffle"`` for corpora whose
+  single documents are too large for one task.
 * The filter itself is a pure projection over those signals — predicate
   pushdown applies to any upstream scan, and ``keep`` can drive
   partition-pruning writes (``partitionBy("keep")``).
@@ -638,18 +637,34 @@ def ngram_char_stats_udf(
     col: Column | str,
     top_ns: tuple = (2, 3, 4),
     dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+    with_top_bigram_occurrence: bool = False,
+    with_line_paragraph: bool = False,
 ) -> Column:
     """Per-row STRUCT of the same Gopher n-gram signals as
     :func:`ngram_char_stats`, as one Arrow-vectorized scalar UDF — the
     stateless-projection form for streaming plans (the batch aggregate
-    shape would be a stream-stream self-join).  Tokenizes with the Java
-    ``\\s+`` (ASCII) convention so decisions are row-identical to batch;
-    the packed (count, len) tie-break is reproduced exactly."""
+    shape would be a stream-stream self-join) and the fastest batch form
+    (``filter_documents(ngram_mode="udf")`` — r5 measured ~2× the pure
+    Catalyst per-row form: the per-gram work is a C-speed ``Counter``
+    pass instead of interpreted higher-order expressions).  Tokenizes
+    with the Java ``\\s+`` (ASCII) convention so decisions are
+    row-identical to batch; the packed (count, len) tie-break is
+    reproduced exactly.  ``with_top_bigram_occurrence`` adds the legacy
+    ``top_bigram_fraction`` (modal bigram count / total bigrams);
+    ``with_line_paragraph`` adds ``dup_line_char_frac`` /
+    ``dup_para_char_frac`` (line/paragraph conventions of
+    :func:`line_dup_stats`)."""
     col = F.col(col) if isinstance(col, str) else col
     fields = [f"top_{n}gram_char_frac double" for n in top_ns] + [
         f"dup_{n}gram_char_frac double" for n in dup_ns
     ]
+    if with_top_bigram_occurrence:
+        fields.append("top_bigram_fraction double")
+    if with_line_paragraph:
+        fields.append("dup_line_char_frac double")
+        fields.append("dup_para_char_frac double")
     schema = "struct<" + ", ".join(f.replace(" ", ": ", 1) for f in fields) + ">"
+    field_names = [f.split(" ")[0] for f in fields]
 
     @F.pandas_udf(schema)
     def _sig(texts: pd.Series) -> pd.DataFrame:
@@ -657,12 +672,14 @@ def ngram_char_stats_udf(
         from collections import Counter
 
         java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        para_re = re.compile(r"\n{2,}")
         rows = []
         for t in texts:
             t = t or ""
             ws = [w for w in java_ws.split(t) if w]
             row = {}
-            for n in sorted({*top_ns, *dup_ns}):
+            wants_bg = with_top_bigram_occurrence
+            for n in sorted({*top_ns, *dup_ns, *( [2] if wants_bg else [] )}):
                 grams = [
                     " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
                 ]
@@ -684,8 +701,30 @@ def ngram_char_stats_udf(
                         c * len(g) for g, c in counts.items() if c >= 2
                     )
                     row[key] = num / den if den > 0 else 0.0
+                if wants_bg and n == 2:
+                    tot = sum(counts.values())
+                    row["top_bigram_fraction"] = (
+                        max(counts.values()) / tot if tot > 0 else 0.0
+                    )
+            if with_line_paragraph:
+                tlen = len(t)
+                for key, units in (
+                    ("dup_line_char_frac", t.split("\n")),
+                    ("dup_para_char_frac", para_re.split(t)),
+                ):
+                    kept = [u for u in units if u.strip(" ")]
+                    cnt = Counter(kept)
+                    num = sum(
+                        c * min(len(u), _PACK - 1)
+                        for u, c in cnt.items()
+                        if c >= 2
+                    )
+                    row[key] = num / tlen if tlen > 0 else 0.0
             rows.append(row)
-        return pd.DataFrame(rows)
+        # explicit column order: dict insertion order interleaves
+        # top_bigram_fraction after top_2, but the struct schema declares
+        # it after the dup_* fields
+        return pd.DataFrame(rows, columns=field_names)
 
     return _sig(col)
 
@@ -761,15 +800,19 @@ def filter_documents(
             with_top_bigram_occurrence=True,
             with_line_paragraph=needs_units,
         )
-        if ngram_mode == "project":
-            # default: the whole n-gram family, the legacy top-bigram
-            # occurrence signal AND (when configured) the line/paragraph
-            # char-mass signals as ONE per-row struct — zero shuffle, no
-            # join; the filter stage is map-only end-to-end (r5 measured
-            # ~5x faster than the explode+agg at sf0.1, cold and warm)
-            sig = narrow.withColumn(
-                "__ng", ngram_char_stats_col(F.col(text_col), **ng_kw)
+        if ngram_mode in ("project", "udf"):
+            # both forms are map-only (zero shuffle, no join — the filter
+            # stage is one projection end-to-end).  "project" stays pure
+            # Catalyst (interpreted higher-order run-length walk);
+            # "udf" is one Arrow-vectorized pass (C-speed Counter,
+            # r5 measured ~2× faster) at the cost of a Python worker —
+            # both field-identical to the "shuffle" aggregate form.
+            ng = (
+                ngram_char_stats_col(F.col(text_col), **ng_kw)
+                if ngram_mode == "project"
+                else ngram_char_stats_udf(F.col(text_col), **ng_kw)
             )
+            sig = narrow.withColumn("__ng", ng)
             ng_fields = [f for f in sig.schema["__ng"].dataType.fieldNames()]
             sig = sig.select(
                 *[F.col(c) for c in narrow.columns],
@@ -784,7 +827,7 @@ def filter_documents(
             sig = narrow.join(ng, id_col, "left")
         else:
             raise ValueError(
-                f"ngram_mode must be 'project' or 'shuffle', got {ngram_mode!r}"
+                f"ngram_mode must be 'project', 'udf' or 'shuffle', got {ngram_mode!r}"
             )
     else:
         tops = _top_bigram_per_doc(df, id_col, text_col)

@@ -2578,9 +2578,12 @@ def test_filter_documents_ngram_modes_agree(spark):
          filter_documents(df, rules, ngram_mode="project").collect()}
     b = {r["doc_id"]: r.asDict() for r in
          filter_documents(df, rules, ngram_mode="shuffle").collect()}
-    assert set(a) == set(b)
+    u = {r["doc_id"]: r.asDict() for r in
+         filter_documents(df, rules, ngram_mode="udf").collect()}
+    assert set(a) == set(b) == set(u)
     for k in a:
         assert a[k] == b[k], (k, a[k], b[k])
+        assert a[k] == u[k], (k, a[k], u[k])
     with pytest.raises(ValueError, match="ngram_mode"):
         filter_documents(df, rules, ngram_mode="nope")
 
