@@ -521,13 +521,28 @@ def hll_distinct_urls_by_lang(spark, sf_dir):
 
 
 def cms_event_type_counts(spark, sf_dir):
+    """Frequency-sketch row: count-min point queries AND the
+    Misra-Gries frequent-items summary (sketch/frequent.py, new r5) over
+    the same column.  event_type has 5 distinct values < the MG capacity
+    16, so MG runs in its EXACT regime (offset 0, counts = true counts,
+    partition-invariant) and the DuckDB oracle mirrors it with plain
+    GROUP BY counts; the compressed regime's bound/merge behavior is
+    property-tested in tests/test_sketches.py."""
     import math
 
-    from pprl_spark.sketch import CountMinSketch, sketch_column
+    from pprl_spark.sketch import (
+        CountMinSketch,
+        FrequentItemsSketch,
+        sketch_column,
+    )
 
     width, depth = 2719, 5
     ev = _load(spark, sf_dir, "events")
     sk = sketch_column(ev, "event_type", lambda: CountMinSketch(width=width, depth=depth))
+    mg = sketch_column(
+        ev, "event_type", lambda: FrequentItemsSketch(capacity=16)
+    )
+    mg_lower = {item: lo for item, lo, _hi in mg.estimate()}
     # one driver pass: per-type exact counts + their xxhash64 probe keys
     rows = (
         ev.groupBy("event_type")
@@ -541,8 +556,20 @@ def cms_event_type_counts(spark, sf_dir):
     for r in sorted(rows, key=lambda r: r["event_type"]):
         est = int(sk.estimate([r["h"]])[0])
         ok = r["n"] <= est <= r["n"] + eps * total
-        out.append((r["event_type"], int(r["n"]), bool(ok)))
-    return spark.createDataFrame(out, "event_type string, exact_count long, within_bound boolean")
+        out.append(
+            (
+                r["event_type"],
+                int(r["n"]),
+                bool(ok),
+                int(mg_lower.get(r["event_type"], 0)),
+                bool(mg.offset == 0),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "event_type string, exact_count long, within_bound boolean, "
+        "mg_count long, mg_exact boolean",
+    )
 
 
 def _rank_check_rows(spark, sf_dir, quantiles, estimates, tol):
@@ -2754,7 +2781,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "cms_event_type_counts": """
-            SELECT event_type, count(*) AS exact_count, true AS within_bound
+            SELECT event_type, count(*) AS exact_count, true AS within_bound,
+                   count(*) AS mg_count, true AS mg_exact
             FROM events GROUP BY event_type
         """,
         "quantile_sketches": """

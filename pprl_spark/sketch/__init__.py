@@ -8,6 +8,7 @@ Spark aggregation (`spark_agg`).  Error bounds per PAPERS.md / BASELINE.md.
 from .base import Sketch, deserialize  # noqa: F401
 from .bloom import BloomFilter  # noqa: F401
 from .cms import CountMinSketch  # noqa: F401
+from .frequent import FrequentItemsSketch  # noqa: F401
 from .hll import HyperLogLog  # noqa: F401
 from .kll import KLLSketch  # noqa: F401
 from .spark_agg import sketch_column, sketch_column_with_exact, sketch_grouped  # noqa: F401

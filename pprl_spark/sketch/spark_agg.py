@@ -46,9 +46,15 @@ def prepare_input(df: DataFrame, column: str, factory: Callable[[], Sketch]) -> 
     repartition happens AFTER the projection so only the hash/double
     column moves, never the source table."""
     probe = factory()
-    if getattr(probe, "INPUT", "hash") == "hash":
+    mode = getattr(probe, "INPUT", "hash")
+    if mode == "hash":
         out = df.filter(F.col(column).isNotNull()).select(
             F.xxhash64(F.col(column)).alias("__in")
+        )
+    elif mode == "raw":
+        # item-identity sketches (frequent-items) must see the values
+        out = df.filter(F.col(column).isNotNull()).select(
+            F.col(column).cast("string").alias("__in")
         )
     else:
         out = df.filter(F.col(column).isNotNull()).select(
@@ -166,8 +172,11 @@ def sketch_grouped(
     Phase 1 computes per-partition per-group partials (map-side combine);
     phase 2 shuffles only the states and merges per group."""
     probe = factory()
-    if getattr(probe, "INPUT", "hash") == "hash":
+    mode = getattr(probe, "INPUT", "hash")
+    if mode == "hash":
         in_col = F.xxhash64(F.col(column)).alias("__in")
+    elif mode == "raw":
+        in_col = F.col(column).cast("string").alias("__in")
     else:
         in_col = F.col(column).cast("double").alias("__in")
     prepared = df.filter(F.col(column).isNotNull()).select(*group_cols, in_col)

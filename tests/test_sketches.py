@@ -297,3 +297,102 @@ class TestTDigest:
 def test_deserialize_rejects_garbage():
     with pytest.raises(ValueError, match="not a pprl_spark sketch state"):
         deserialize(b"garbage-bytes")
+
+
+# ---------------------------------------------------------------- frequent
+def test_frequent_items_exact_regime():
+    from pprl_spark.sketch import FrequentItemsSketch
+
+    sk = FrequentItemsSketch(capacity=8)
+    data = ["a"] * 10 + ["b"] * 5 + ["c"] * 3 + ["d"]
+    sk.update(data)
+    assert sk.offset == 0 and sk.total == len(data)
+    assert dict((i, lo) for i, lo, hi in sk.estimate()) == {
+        "a": 10, "b": 5, "c": 3, "d": 1
+    }
+    # exact regime is partition-invariant bit-for-bit
+    import random
+
+    rng = random.Random(7)
+    for n_parts in (1, 2, 7, 32):
+        shuffled = data[:]
+        rng.shuffle(shuffled)
+        parts = [shuffled[i::n_parts] for i in range(n_parts)]
+        merged = FrequentItemsSketch(capacity=8)
+        for p in parts:
+            s = FrequentItemsSketch(capacity=8)
+            s.update(p)
+            merged.merge(s)
+        assert merged.estimate() == sk.estimate()
+        assert merged.offset == 0
+
+
+def test_frequent_items_bounds_and_heavy_hitters_zipf():
+    import random
+    from collections import Counter
+
+    from pprl_spark.sketch import FrequentItemsSketch
+
+    rng = random.Random(0xF00D)
+    # zipf-ish: item i with weight ~ 1/(i+1)
+    population = [f"item{i}" for i in range(500)]
+    weights = [1.0 / (i + 1) for i in range(500)]
+    data = rng.choices(population, weights=weights, k=20_000)
+    true = Counter(data)
+    cap = 32
+    for n_parts in (1, 5, 32):
+        parts = [data[i::n_parts] for i in range(n_parts)]
+        merged = FrequentItemsSketch(capacity=cap)
+        for p in parts:
+            s = FrequentItemsSketch(capacity=cap)
+            s.update(p)
+            merged.merge(s)
+        assert merged.total == len(data)
+        # MG invariant: offset <= total/(capacity+1)
+        assert merged.offset <= len(data) / (cap + 1)
+        # bounds hold for every tracked item
+        for item, lo, hi in merged.estimate():
+            assert lo <= true[item] <= hi, (n_parts, item, lo, true[item], hi)
+        # untracked items are bounded by the offset
+        tracked = {i for i, _, _ in merged.estimate()}
+        for item, c in true.items():
+            if item not in tracked:
+                assert c <= merged.offset
+        # no-false-negative candidate set at the sketch error level
+        hh = {i for i, _, _ in merged.heavy_hitters()}
+        thresh = len(data) / (cap + 1)
+        for item, c in true.items():
+            if c > thresh:
+                assert item in hh, (n_parts, item, c, thresh)
+
+
+def test_frequent_items_serialization_roundtrip():
+    from pprl_spark.sketch import FrequentItemsSketch, deserialize
+
+    sk = FrequentItemsSketch(capacity=4)
+    sk.update(["α", "β", "β", "γ", "δ", "ε", "ζ", "α"])  # forces compress
+    rt = deserialize(sk.serialize())
+    assert rt.capacity == sk.capacity
+    assert rt.offset == sk.offset and rt.total == sk.total
+    assert rt.estimate() == sk.estimate()
+    # merging the round-trip copy doubles everything
+    rt.merge(deserialize(sk.serialize()))
+    assert rt.total == 2 * sk.total
+
+
+def test_frequent_items_spark_column(spark):
+    from pprl_spark.sketch import FrequentItemsSketch, sketch_column
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sk = sketch_column(
+        events, "event_type", lambda: FrequentItemsSketch(capacity=16)
+    )
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(__import__("pyspark").sql.functions.count("*").alias("n"))
+        .collect()
+    }
+    # 5 distinct event types < capacity 16 -> exact regime
+    assert sk.offset == 0
+    assert {i: lo for i, lo, hi in sk.estimate()} == exact
