@@ -201,10 +201,16 @@ def sketch_grouped(
                 merged = sk if merged is None else merged.merge(sk)
         if merged is None:
             return
+        try:
+            est = float(merged.estimate())
+        except (TypeError, ValueError):
+            # item-identity sketches (frequent-items) estimate a LIST,
+            # not a scalar — consumers read the state column instead
+            est = float("nan")
         yield pd.DataFrame(
             [dict(zip(group_cols, key)) | {
                 "state": merged.serialize(),
-                estimate_name: float(merged.estimate()),
+                estimate_name: est,
             }]
         )
 
