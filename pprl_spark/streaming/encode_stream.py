@@ -30,7 +30,12 @@ from ..config import MaskConfig
 from ..sketch import HyperLogLog
 from ..spark.mask import mask
 
-__all__ = ["streaming_mask", "streaming_windowed_counts", "streaming_hll_by_key"]
+__all__ = [
+    "streaming_mask",
+    "streaming_windowed_counts",
+    "streaming_hll_by_key",
+    "streaming_heavy_hitters_by_key",
+]
 
 
 def streaming_mask(
@@ -164,5 +169,76 @@ def streaming_hll_by_key(
         )
 
     return hashed.groupBy("key").applyInPandasWithState(
+        _update, out_schema, state_schema, output_mode, GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_heavy_hitters_by_key(
+    stream_df: DataFrame,
+    key_col: str,
+    item_col: str,
+    capacity: int = 64,
+    top_k: int = 10,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Running per-key frequent-items (Misra–Gries) summary over a
+    stream — "top URLs per language", "top event types per user shard" —
+    the item-identity sibling of :func:`streaming_hll_by_key`.
+
+    Per key, a capacity-bounded :class:`~pprl_spark.sketch.frequent.
+    FrequentItemsSketch` lives in the state store as its serialized
+    bytes; each micro-batch folds its items in and emits the current
+    top-``top_k`` (item, lower-bound count) pairs plus the global error
+    offset, so a consumer can reconstruct ``[lower, lower+offset]``
+    bounds for every reported item.  State is bounded: |keys| ×
+    O(capacity) bytes, independent of stream length — the MG guarantee
+    (any item with frequency > n/(capacity+1) is present) holds at every
+    emission because the summary is mergeable across micro-batches
+    exactly as across partitions (sketch/frequent.py)."""
+    if not stream_df.isStreaming:
+        raise ValueError(
+            "streaming_heavy_hitters_by_key expects a streaming DataFrame"
+        )
+    from ..sketch.frequent import FrequentItemsSketch
+
+    projected = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(item_col).cast("string").alias("__item"),
+    )
+    out_schema = (
+        "key string, top_items array<struct<item: string, count_lower: long>>, "
+        "error_offset long, n_rows_seen long, sketch binary"
+    )
+    state_schema = "sketch binary, n_rows_seen long"
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            blob, seen = state.get
+            sk = FrequentItemsSketch.deserialize(bytes(blob))
+        else:
+            sk, seen = FrequentItemsSketch(capacity=capacity), 0
+        for pdf in pdfs:
+            items = pdf["__item"]
+            sk.update(items[items.notna()].tolist())
+            seen += len(pdf)
+        blob = sk.serialize()
+        state.update((blob, seen))
+        top = [
+            {"item": item, "count_lower": lo}
+            for item, lo, _hi in sk.estimate()[:top_k]
+        ]
+        yield pd.DataFrame(
+            [{
+                "key": key[0],
+                "top_items": top,
+                "error_offset": sk.offset,
+                "n_rows_seen": seen,
+                "sketch": blob,
+            }]
+        )
+
+    return projected.groupBy("key").applyInPandasWithState(
         _update, out_schema, state_schema, output_mode, GroupStateTimeout.NoTimeout
     )

@@ -140,3 +140,56 @@ def test_streaming_mask_rejects_batch_df(spark):
     df = spark.createDataFrame([("e1", "x")], ["id", "name"])
     with pytest.raises(ValueError, match="expects a streaming DataFrame"):
         streaming_mask(df, CFG, ["name"])
+
+
+def test_streaming_heavy_hitters_by_key(spark, tmp_path):
+    """Two micro-batches of events -> running per-key MG summary; with
+    distinct items < capacity the counts are exact and equal the batch
+    groupBy, and the state carries across batches (n_rows_seen sums)."""
+    import pyspark.sql.functions as SF
+
+    from pprl_spark.streaming.encode_stream import streaming_heavy_hitters_by_key
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    b1 = [("en", "click")] * 5 + [("en", "view")] * 3 + [("de", "click")] * 2
+    b2 = [("en", "click")] * 4 + [("de", "buy")] * 6
+    schema = "lang string, event string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_heavy_hitters_by_key(stream, "lang", "event", capacity=8, top_k=5)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    # last emission per key = the one with max n_rows_seen
+    latest = {}
+    for r in rows:
+        if r["key"] not in latest or r["n_rows_seen"] > latest[r["key"]]["n_rows_seen"]:
+            latest[r["key"]] = r
+    en = latest["en"]
+    assert en["error_offset"] == 0 and en["n_rows_seen"] == 12
+    assert {t["item"]: t["count_lower"] for t in en["top_items"]} == {
+        "click": 9, "view": 3
+    }
+    de = latest["de"]
+    assert de["n_rows_seen"] == 8
+    assert {t["item"]: t["count_lower"] for t in de["top_items"]} == {
+        "buy": 6, "click": 2
+    }
