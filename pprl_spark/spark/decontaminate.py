@@ -179,7 +179,15 @@ def streaming_contamination_hits(
     plan stays a projection, exactly like ``streaming_quality_filter``.
     Decision-identical to the batch ``contamination_report`` (string
     membership vs its 64-bit-hash semi-join differs only on xxhash64
-    collisions, ~|grams|²/2⁶⁵)."""
+    collisions, ~|grams|²/2⁶⁵).
+
+    Convention caveat: lowercasing here is Python ``str.lower`` vs the
+    batch path's JVM ``lower()`` — identical for ASCII and the vast
+    majority of Unicode, but a handful of locale-sensitive code points
+    (e.g. ``İ``) case-fold differently across the two runtimes, so
+    decisions on such text may differ; both sides of THIS stream path
+    (:func:`eval_gram_set` tokenizes JVM-side, the UDF Python-side) can
+    disagree only on those code points."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     bc = spark.sparkContext.broadcast(frozenset(gram_set))
 
