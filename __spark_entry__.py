@@ -533,15 +533,23 @@ def cms_event_type_counts(spark, sf_dir):
     from pprl_spark.sketch import (
         CountMinSketch,
         FrequentItemsSketch,
-        sketch_column,
+        profile_column,
     )
 
     width, depth = 2719, 5
     ev = _load(spark, sf_dir, "events")
-    sk = sketch_column(ev, "event_type", lambda: CountMinSketch(width=width, depth=depth))
-    mg = sketch_column(
-        ev, "event_type", lambda: FrequentItemsSketch(capacity=16)
+    # both sketches in ONE scan (profile_column, new r5): the partials
+    # map updates CMS from the xxhash64 lane and MG from the raw lane of
+    # the same Arrow batches
+    sketches = profile_column(
+        ev,
+        "event_type",
+        {
+            "cms": lambda: CountMinSketch(width=width, depth=depth),
+            "mg": lambda: FrequentItemsSketch(capacity=16),
+        },
     )
+    sk, mg = sketches["cms"], sketches["mg"]
     mg_lower = {item: lo for item, lo, _hi in mg.estimate()}
     # one driver pass: per-type exact counts + their xxhash64 probe keys
     rows = (

@@ -11,6 +11,11 @@ from .cms import CountMinSketch  # noqa: F401
 from .frequent import FrequentItemsSketch  # noqa: F401
 from .hll import HyperLogLog  # noqa: F401
 from .kll import KLLSketch  # noqa: F401
-from .spark_agg import sketch_column, sketch_column_with_exact, sketch_grouped  # noqa: F401
+from .spark_agg import (  # noqa: F401
+    profile_column,
+    sketch_column,
+    sketch_column_with_exact,
+    sketch_grouped,
+)
 from .tdigest import TDigest  # noqa: F401
 from .theta import ThetaSketch  # noqa: F401

@@ -30,7 +30,13 @@ from pyspark.sql import functions as F
 
 from .base import Sketch, deserialize
 
-__all__ = ["sketch_column", "sketch_column_with_exact", "sketch_grouped", "prepare_input"]
+__all__ = [
+    "sketch_column",
+    "sketch_column_with_exact",
+    "sketch_grouped",
+    "prepare_input",
+    "profile_column",
+]
 
 
 def prepare_input(df: DataFrame, column: str, factory: Callable[[], Sketch]) -> DataFrame:
@@ -215,3 +221,53 @@ def sketch_grouped(
         )
 
     return partials.groupBy(*group_cols).applyInPandas(_merge, schema=out_schema)
+
+
+def profile_column(
+    df: DataFrame, column: str, factories: "dict[str, Callable[[], Sketch]]"
+) -> "dict[str, Sketch]":
+    """MANY sketches over one column in ONE scan — the standard
+    profiling ask ("distinct count + frequencies + heavy hitters of this
+    column") without one pass per sketch.
+
+    The projection prepares every input representation any requested
+    sketch needs (xxhash64 for hash sketches, raw string for
+    item-identity sketches, double for rank sketches); each partition
+    updates all sketches from the same Arrow batches and emits one
+    (name, state) row per sketch, so the collect stays
+    O(#partitions × #sketches) KB-sized rows regardless of data volume.
+    """
+    probes = {name: f() for name, f in factories.items()}
+    modes = {name: getattr(p, "INPUT", "hash") for name, p in probes.items()}
+    cols = []
+    if any(m == "hash" for m in modes.values()):
+        cols.append(F.xxhash64(F.col(column)).alias("__hash"))
+    if any(m == "raw" for m in modes.values()):
+        cols.append(F.col(column).cast("string").alias("__raw"))
+    if any(m == "value" for m in modes.values()):
+        cols.append(F.col(column).cast("double").alias("__value"))
+    prepared = df.filter(F.col(column).isNotNull()).select(*cols)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if prepared.rdd.getNumPartitions() < parallelism:
+        prepared = prepared.repartition(parallelism)
+    col_for = {"hash": "__hash", "raw": "__raw", "value": "__value"}
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sketches = {name: f() for name, f in factories.items()}
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seen = True
+            for name, sk in sketches.items():
+                sk.update(pdf[col_for[modes[name]]].to_numpy())
+        if seen:
+            yield pd.DataFrame(
+                [{"name": n, "state": sk.serialize()} for n, sk in sketches.items()]
+            )
+
+    rows = prepared.mapInPandas(_fn, schema="name string, state binary").collect()
+    out = {name: f() for name, f in factories.items()}
+    for row in rows:
+        out[row["name"]].merge(deserialize(bytes(row["state"])))
+    return out

@@ -145,3 +145,40 @@ def test_frequent_items_grouped(spark):
         import math
         est = row["estimate"]  # list-estimate sketches emit NaN/NULL
         assert est is None or math.isnan(est)
+
+
+def test_profile_column_one_scan_matches_per_sketch(spark):
+    import pyspark.sql.functions as SF
+
+    from pprl_spark.sketch import (
+        CountMinSketch,
+        FrequentItemsSketch,
+        HyperLogLog,
+        KLLSketch,
+        profile_column,
+        sketch_column,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = profile_column(
+        ev,
+        "event_type",
+        {
+            "hll": lambda: HyperLogLog(p=12),
+            "cms": lambda: CountMinSketch(width=2719, depth=5),
+            "mg": lambda: FrequentItemsSketch(capacity=16),
+        },
+    )
+    # vs separate passes: HLL estimate identical (deterministic merge),
+    # MG exact regime identical, CMS totals identical
+    hll_sep = sketch_column(ev, "event_type", lambda: HyperLogLog(p=12))
+    assert out["hll"].estimate() == hll_sep.estimate()
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(SF.count("*").alias("n")).collect()
+    }
+    assert {i: lo for i, lo, _ in out["mg"].estimate()} == exact
+    assert out["cms"].total == sum(exact.values())
+    # rank sketch lane: numeric column through the same helper
+    kl = profile_column(ev, "value", {"kll": lambda: KLLSketch()})["kll"]
+    assert kl.total if hasattr(kl, "total") else True
