@@ -12,6 +12,7 @@ from .frequent import FrequentItemsSketch  # noqa: F401
 from .hll import HyperLogLog  # noqa: F401
 from .kll import KLLSketch  # noqa: F401
 from .spark_agg import (  # noqa: F401
+    frequent_items,
     profile_column,
     sketch_column,
     sketch_column_with_exact,

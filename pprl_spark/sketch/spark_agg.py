@@ -36,6 +36,7 @@ __all__ = [
     "sketch_grouped",
     "prepare_input",
     "profile_column",
+    "frequent_items",
 ]
 
 
@@ -271,3 +272,44 @@ def profile_column(
     for row in rows:
         out[row["name"]].merge(deserialize(bytes(row["state"])))
     return out
+
+
+def frequent_items(
+    df: DataFrame,
+    group_cols: "list[str]",
+    column: str,
+    capacity: int = 64,
+    top_k: "int | None" = None,
+) -> DataFrame:
+    """Tidy heavy-hitters relation: one (group…, item, count_lower,
+    count_upper) row per tracked item per group, from a grouped
+    Misra–Gries aggregation (``count_lower ≤ true ≤ count_upper``;
+    items above ``total/(capacity+1)`` per group are guaranteed
+    present).  ``top_k`` truncates each group's summary after the
+    deterministic (-count, item) ordering."""
+    from .frequent import FrequentItemsSketch
+
+    grouped = sketch_grouped(
+        df, group_cols, column, lambda: FrequentItemsSketch(capacity=capacity)
+    )
+    out_schema = ", ".join(
+        f"{name} {dtype}" for name, dtype in grouped.select(*group_cols).dtypes
+    ) + ", item string, count_lower long, count_upper long"
+
+    def _explode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                sk = deserialize(bytes(rec["state"]))
+                ests = sk.estimate()
+                if top_k is not None:
+                    ests = ests[:top_k]
+                for item, lo, hi in ests:
+                    rows.append(
+                        {g: rec[g] for g in group_cols}
+                        | {"item": item, "count_lower": lo, "count_upper": hi}
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return grouped.mapInPandas(_explode, schema=out_schema)

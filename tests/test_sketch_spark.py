@@ -182,3 +182,25 @@ def test_profile_column_one_scan_matches_per_sketch(spark):
     # rank sketch lane: numeric column through the same helper
     kl = profile_column(ev, "value", {"kll": lambda: KLLSketch()})["kll"]
     assert kl.total if hasattr(kl, "total") else True
+
+
+def test_frequent_items_tidy_relation(spark):
+    import pyspark.sql.functions as SF
+
+    from pprl_spark.sketch import frequent_items
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = frequent_items(ev, ["event_type"], "user_id", capacity=2048).collect()
+    exact = {
+        (r["event_type"], str(r["user_id"])): r["n"]
+        for r in ev.groupBy("event_type", "user_id").agg(SF.count("*").alias("n")).collect()
+    }
+    n_users = ev.select("user_id").distinct().count()
+    assert n_users <= 2048  # exact regime at sf0.001 (150 users)
+    got = {(r["event_type"], r["item"]): r["count_lower"] for r in out}
+    assert got == exact
+    for r in out:
+        assert r["count_lower"] == r["count_upper"]  # offset 0
+    top = frequent_items(ev, ["event_type"], "user_id", capacity=2048, top_k=3)
+    counts = top.groupBy("event_type").count().collect()
+    assert all(r["count"] == 3 for r in counts)
