@@ -25,6 +25,7 @@ escape hatch on the join stage.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -38,6 +39,7 @@ __all__ = [
     "ngram_jaccard",
     "jaccard_verify",
     "simhash_fingerprints",
+    "simhash_fingerprints_udf",
     "simhash_pairs",
     "embedding_cosine_pairs",
 ]
@@ -296,6 +298,76 @@ def jaccard_verify(
 
 # ---------------------------------------------------------------- simhash
 
+def simhash_fingerprints_udf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    q: int = 3,
+    chunks: int = 8,
+) -> DataFrame:
+    """Per-row SimHash — one Arrow-vectorized UDF, ZERO shuffle.
+
+    Bit-identical to :func:`simhash_fingerprints` (same md5-derived
+    bits, same majority/tie rule, same chunk keys — parity-tested): per
+    document, hash its distinct q-grams with ``hashlib.md5`` (identical
+    output to JVM ``md5``), fold the digest bits into 64 vote counters
+    with one ``np.unpackbits`` + column sum, threshold at
+    ``votes*2 >= n``.  The agg form shuffles ~#grams slim vote rows and
+    pays one JVM md5 + 64 bit-extractions + 22 codegen sums per gram;
+    here the same work is a C-speed loop (r5 measured: fingerprints
+    ~6.5 s → ~1 s at sf0.1).  Per-row memory is one document's distinct
+    gram set — at multi-GB single documents prefer the agg form."""
+    if 64 % chunks:
+        raise ValueError("chunks must divide 64")
+    width = 64 // chunks
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+
+    @F.pandas_udf("struct<hi: bigint, lo: bigint, keys: array<bigint>>")
+    def _fp(texts: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        import numpy as np
+
+        rows = []
+        for t in texts:
+            if t is None:
+                # mirror the agg form: md5(NULL) is NULL, sums stay NULL,
+                # every majority test is false → all-zero fingerprint
+                rows.append({"hi": 0, "lo": 0, "keys": [0] * chunks})
+                continue
+            if len(t) >= q:
+                grams = {t[i : i + q] for i in range(len(t) - q + 1)}
+            else:
+                # substring(t, 1, q) clamps: one whole-text window
+                grams = {t}
+            digs = b"".join(
+                hashlib.md5(g.encode("utf-8")).digest() for g in grams
+            )
+            # the fingerprint votes over the digest's FIRST 64 bits
+            # (hex chars 1-16), matching the agg form's two conv() halves
+            bits = np.unpackbits(
+                np.frombuffer(digs, dtype=np.uint8).reshape(len(grams), 16)[:, :8],
+                axis=1,
+            )
+            votes = bits.sum(axis=0, dtype=np.int64)
+            fp = (votes * 2 >= len(grams)).astype(np.uint8)
+            packed = np.packbits(fp)  # 8 bytes, MSB-first == digest order
+            as_int = int.from_bytes(packed.tobytes(), "big")
+            hi, lo = (as_int >> 32) & 0xFFFFFFFF, as_int & 0xFFFFFFFF
+            keys = [
+                (as_int >> (64 - (c + 1) * width)) & ((1 << width) - 1)
+                for c in range(chunks)
+            ]
+            rows.append({"hi": hi, "lo": lo, "keys": keys})
+        return pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col).alias("__id"), _fp(F.col(text_col)).alias("__s")
+    ).select("__id", "__s.hi", "__s.lo", "__s.keys")
+
+
 def simhash_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -430,6 +502,7 @@ def simhash_pairs(
     q: int = 3,
     chunks: int = 8,
     max_hamming: int | None = None,
+    fingerprint_mode: str = "udf",
 ) -> DataFrame:
     """Candidate pairs whose SimHash agrees on ≥1 of ``chunks`` equal-width
     chunks (pigeonhole: Hamming distance < chunks ⇒ some chunk equal —
@@ -446,7 +519,17 @@ def simhash_pairs(
     # fingerprint computation (ReusedExchange) instead of recomputing the
     # md5+vote aggregation per side
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    fp = simhash_fingerprints(df, id_col, text_col, q=q, chunks=chunks).repartition(
+    if fingerprint_mode == "udf":
+        # default: per-row Arrow fingerprints, zero shuffle before the
+        # id-keyed exchange below (bit-identical to the agg form)
+        fp_fn = simhash_fingerprints_udf
+    elif fingerprint_mode == "agg":
+        fp_fn = simhash_fingerprints
+    else:
+        raise ValueError(
+            f"fingerprint_mode must be 'udf' or 'agg', got {fingerprint_mode!r}"
+        )
+    fp = fp_fn(df, id_col, text_col, q=q, chunks=chunks).repartition(
         n_parts, "__id"
     )
     banded = fp.select("__id", "hi", "lo", F.posexplode("keys").alias("chunk", "key"))

@@ -2701,3 +2701,37 @@ def test_bind_once_equivalence_against_unbound_forms(spark):
             assert d[f"b_{name}"] == d[f"u_{name}"], (
                 d["id"], name, d[f"b_{name}"], d[f"u_{name}"]
             )
+
+
+def test_simhash_udf_fingerprints_bit_identical(spark):
+    """The per-row Arrow fingerprint engine must equal the explode+agg
+    engine bit-for-bit (hi, lo, every chunk key) including the NULL /
+    empty / shorter-than-q edge rows, and simhash_pairs must return the
+    same pair set under either engine."""
+    from pprl_spark.spark.dedup import (
+        simhash_fingerprints,
+        simhash_fingerprints_udf,
+        simhash_pairs,
+    )
+
+    rows = [(0, "the cat sat on the mat and then sat some more right here"),
+            (1, "the cat sat on the mat and then sat some more right there"),
+            (2, "completely different text about spark catalyst plans"),
+            (3, ""), (4, None), (5, "ab"), (6, "abc"),
+            (7, "日本語テキストの処理とハッシュ"),
+            (8, "the cat sat on the mat and then sat some more right here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["__id"]: (r["hi"], r["lo"], tuple(r["keys"])) for r in
+         simhash_fingerprints(df, "doc_id", "text", q=3).collect()}
+    b = {r["__id"]: (r["hi"], r["lo"], tuple(r["keys"])) for r in
+         simhash_fingerprints_udf(df, "doc_id", "text", q=3).collect()}
+    assert a == b
+    pa = {(r["id_a"], r["id_b"]) for r in
+          simhash_pairs(df, "doc_id", "text", q=3, max_hamming=6,
+                        fingerprint_mode="agg").collect()}
+    pu = {(r["id_a"], r["id_b"]) for r in
+          simhash_pairs(df, "doc_id", "text", q=3, max_hamming=6,
+                        fingerprint_mode="udf").collect()}
+    assert pa == pu and (0, 8) in pu
+    with pytest.raises(ValueError, match="fingerprint_mode"):
+        simhash_pairs(df, "doc_id", "text", fingerprint_mode="nope")
