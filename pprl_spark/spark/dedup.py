@@ -154,6 +154,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     max_bucket_size: int | None = None,
     df_other: DataFrame | None = None,
+    signature_mode: str = "udf",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
@@ -178,9 +179,52 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
+    if signature_mode not in ("udf", "agg"):
+        raise ValueError(
+            f"signature_mode must be 'udf' or 'agg', got {signature_mode!r}"
+        )
     r = num_hashes // bands
     coeffs = minhash_coefficients(num_hashes)
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+
+    @F.pandas_udf("array<string>")
+    def _keys_udf(texts: pd.Series) -> pd.Series:
+        # per-ROW signature engine (default): hashlib.md5 per distinct
+        # gram (identical to JVM md5) + one numpy (num_hashes, n_grams)
+        # lane matrix min — bit-identical band buckets to the agg engine
+        # (parity-tested), no gram rows, no vote shuffle.  a·h1+b·h2+j <
+        # 2·(2³¹−2)² + 127 < 2⁶³−1: int64-safe, same as the JVM longs.
+        import hashlib
+
+        import numpy as np
+
+        M = _MERSENNE31
+        A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+        J = np.arange(len(coeffs), dtype=np.int64)[:, None]
+        out = []
+        for t in texts:
+            hs = None
+            if t is not None:
+                if len(t) >= q:
+                    grams = {t[i : i + q] for i in range(len(t) - q + 1)}
+                else:
+                    grams = {t}  # substring(t, 1, q) clamps to one window
+                hx = [hashlib.md5(g.encode("utf-8")).hexdigest() for g in grams]
+                h1 = np.array([int(x[:8], 16) for x in hx], dtype=np.int64) % M
+                h2 = np.array([int(x[8:16], 16) for x in hx], dtype=np.int64) % M
+                hs = ((A * h1[None, :] + B * h2[None, :] + J) % M).min(axis=1)
+            keys = []
+            for band in range(bands):
+                if hs is None:
+                    sig = ""  # concat_ws skips the all-NULL mins
+                else:
+                    sig = "_".join(
+                        str(int(hs[band * r + k])) for k in range(r)
+                    )
+                keys.append(hashlib.md5(sig.encode("utf-8")).hexdigest())
+            out.append(keys)
+        return pd.Series(out)
 
     def _banded(frame: DataFrame) -> DataFrame:
         # Re-split ONLY when the scan has fewer splits than the cluster
@@ -192,6 +236,14 @@ def minhash_lsh_pairs(
         # a full-corpus shuffle and coalesce DOWN.
         if frame.rdd.getNumPartitions() < n_parts:
             frame = frame.repartition(n_parts)
+        if signature_mode == "udf":
+            keys = frame.select(
+                F.col(id_col).alias("__id"),
+                _keys_udf(F.col(text_col)).alias("__keys"),
+            ).repartition(n_parts, "__id")
+            return _cap_buckets(
+                keys.select("__id", F.posexplode("__keys").alias("band", "bucket"))
+            )
         # per-row distinct grams: a duplicate gram cannot change any
         # min_j, but every exploded row pays one md5 + 128 lane-min
         # updates in the aggregate — array_distinct (linear JVM, safe to
@@ -233,7 +285,11 @@ def minhash_lsh_pairs(
                 ]
             ).alias("__keys"),
         ).repartition(n_parts, "__id")
-        banded = keys.select("__id", F.posexplode("__keys").alias("band", "bucket"))
+        return _cap_buckets(
+            keys.select("__id", F.posexplode("__keys").alias("band", "bucket"))
+        )
+
+    def _cap_buckets(banded: DataFrame) -> DataFrame:
         if max_bucket_size is not None:
             sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
             banded = banded.join(

@@ -2735,3 +2735,37 @@ def test_simhash_udf_fingerprints_bit_identical(spark):
     assert pa == pu and (0, 8) in pu
     with pytest.raises(ValueError, match="fingerprint_mode"):
         simhash_pairs(df, "doc_id", "text", fingerprint_mode="nope")
+
+
+def test_minhash_udf_signature_bit_identical(spark):
+    """The per-row Arrow signature engine must produce the same band
+    buckets as the explode+agg engine (same md5-derived lane family), so
+    the candidate pair sets are identical — including NULL / empty /
+    shorter-than-q edge rows and cross-corpus mode."""
+    from pprl_spark.spark.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(0, base + "x"), (1, base + "y"),
+            (2, "a completely different document about catalyst planning"),
+            (3, ""), (4, None), (5, "abc"),
+            (6, base + "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(q=5, num_hashes=32, bands=8)
+    pa = {(r["id_a"], r["id_b"]) for r in
+          minhash_lsh_pairs(df, "doc_id", "text", signature_mode="agg", **kw).collect()}
+    pu = {(r["id_a"], r["id_b"]) for r in
+          minhash_lsh_pairs(df, "doc_id", "text", signature_mode="udf", **kw).collect()}
+    assert pa == pu and (0, 6) in pu
+    other = spark.createDataFrame(
+        [(100, base + "x"), (101, "nothing alike whatsoever here")],
+        "doc_id long, text string",
+    )
+    ca = {(r["id_a"], r["id_b"]) for r in
+          minhash_lsh_pairs(df, "doc_id", "text", df_other=other,
+                            signature_mode="agg", **kw).collect()}
+    cu = {(r["id_a"], r["id_b"]) for r in
+          minhash_lsh_pairs(df, "doc_id", "text", df_other=other,
+                            signature_mode="udf", **kw).collect()}
+    assert ca == cu and (0, 100) in cu
+    with pytest.raises(ValueError, match="signature_mode"):
+        minhash_lsh_pairs(df, "doc_id", "text", signature_mode="nope")
