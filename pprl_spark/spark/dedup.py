@@ -194,6 +194,10 @@ def minhash_lsh_pairs(
         # lane matrix min — bit-identical band buckets to the agg engine
         # (parity-tested), no gram rows, no vote shuffle.  a·h1+b·h2+j <
         # 2·(2³¹−2)² + 127 < 2⁶³−1: int64-safe, same as the JVM longs.
+        # The two 32-bit base lanes are read straight off the binary
+        # digests with one big-endian frombuffer view — int(hexdigest[...],
+        # 16) per gram cost ~2 Python int-parses per gram (r6 measured
+        # ~35% of the whole UDF at sf1.0).
         import hashlib
 
         import numpy as np
@@ -210,9 +214,14 @@ def minhash_lsh_pairs(
                     grams = {t[i : i + q] for i in range(len(t) - q + 1)}
                 else:
                     grams = {t}  # substring(t, 1, q) clamps to one window
-                hx = [hashlib.md5(g.encode("utf-8")).hexdigest() for g in grams]
-                h1 = np.array([int(x[:8], 16) for x in hx], dtype=np.int64) % M
-                h2 = np.array([int(x[8:16], 16) for x in hx], dtype=np.int64) % M
+                digs = b"".join(
+                    hashlib.md5(g.encode("utf-8")).digest() for g in grams
+                )
+                # (n, 4) big-endian uint32 view of the n 16-byte digests:
+                # cols 0/1 equal int(hex[:8], 16) / int(hex[8:16], 16)
+                halves = np.frombuffer(digs, dtype=">u4").reshape(-1, 4)
+                h1 = halves[:, 0].astype(np.int64) % M
+                h2 = halves[:, 1].astype(np.int64) % M
                 hs = ((A * h1[None, :] + B * h2[None, :] + J) % M).min(axis=1)
             keys = []
             for band in range(bands):
@@ -225,6 +234,15 @@ def minhash_lsh_pairs(
                 keys.append(hashlib.md5(sig.encode("utf-8")).hexdigest())
             out.append(keys)
         return pd.Series(out)
+
+    # Non-deterministic marking is a PLAN constraint, not a semantics
+    # change (the signature is a pure function of the text): it stops the
+    # optimizer from pushing the posexplode's implicit `size(keys) > 0`
+    # filter below the parallelism-restoring exchange, which DUPLICATED
+    # this UDF onto the raw scan — at test scale a 1-split scan, so the
+    # duplicate ran single-threaded (guide §4.4; r6 measured 36 s → 6 s
+    # for the candidate stage at sf1.0/local[32]).
+    _keys_udf = _keys_udf.asNondeterministic()
 
     def _banded(frame: DataFrame) -> DataFrame:
         # Re-split ONLY when the scan has fewer splits than the cluster
@@ -419,6 +437,11 @@ def simhash_fingerprints_udf(
             rows.append({"hi": hi, "lo": lo, "keys": keys})
         return pd.DataFrame(rows)
 
+    # plan constraint, not semantics (same move as minhash's _keys_udf):
+    # keeps the optimizer from duplicating the fingerprint UDF below the
+    # downstream posexplode's inferred not-null/size filters (guide §4.4)
+    _fp = _fp.asNondeterministic()
+
     return df.select(
         F.col(id_col).alias("__id"), _fp(F.col(text_col)).alias("__s")
     ).select("__id", "__s.hi", "__s.lo", "__s.keys")
@@ -570,6 +593,17 @@ def simhash_pairs(
     (one hot bucket can seed millions of candidates), and xor+bit_count on
     the raw join output is far cheaper than deduplicating it — the
     dedup then only sees surviving near-duplicates.
+
+    When ``max_hamming <= chunks - 2`` the blocking tightens to CHUNK
+    PAIRS (r6): ≤ ``max_hamming`` bit errors corrupt ≤ ``chunks - 2``
+    chunks, so every qualifying pair agrees on ≥ 2 chunks and must share
+    one of the C(chunks, 2) ordered chunk-pair keys.  Doubling the key
+    width cuts background collisions quadratically (8-bit keys → 16-bit:
+    ~137× fewer random collisions, r6 measured 39M → ~1M joined rows at
+    sf1.0), and each surviving pair is emitted exactly once — at its
+    FIRST agreeing chunk pair, decided by a 2^chunks lookup table over
+    the xor's chunk-equality mask — so the trailing ``dropDuplicates``
+    shuffle disappears entirely.
     """
     # id-keyed exchange → both sides of the self-join reuse ONE
     # fingerprint computation (ReusedExchange) instead of recomputing the
@@ -588,6 +622,19 @@ def simhash_pairs(
     fp = fp_fn(df, id_col, text_col, q=q, chunks=chunks).repartition(
         n_parts, "__id"
     )
+    width = 64 // chunks
+    hamming = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    use_pair_blocking = (
+        max_hamming is not None
+        and max_hamming <= chunks - 2
+        and chunks <= 12  # 2^chunks first-pair lookup stays tiny
+        and width <= 31  # combined 2w-bit key fits a positive long
+        and 32 % width == 0  # each chunk lives wholly in hi or lo
+    )
+    if use_pair_blocking:
+        return _simhash_pairs_2chunk(fp, chunks, width, max_hamming, hamming)
     banded = fp.select("__id", "hi", "lo", F.posexplode("keys").alias("chunk", "key"))
     left = banded.select(
         F.col("__id").alias("id_a"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"),
@@ -597,9 +644,6 @@ def simhash_pairs(
         F.col("__id").alias("id_b"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"),
         "chunk", "key",
     )
-    hamming = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
-        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
-    )
     pairs = (
         left.join(right, on=["chunk", "key"], how="inner")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -608,6 +652,77 @@ def simhash_pairs(
     if max_hamming is not None:
         pairs = pairs.filter(F.col("hamming") <= max_hamming)
     return pairs.select("id_a", "id_b", "hamming").dropDuplicates(["id_a", "id_b"])
+
+
+def _simhash_pairs_2chunk(
+    fp: DataFrame, chunks: int, width: int, max_hamming: int, hamming: Column
+) -> DataFrame:
+    """Chunk-PAIR blocked simhash join (see :func:`simhash_pairs`): emit
+    each qualifying pair exactly once, at its first agreeing chunk pair.
+
+    ``fp`` carries (__id, hi, lo, keys[chunks]); every qualifying pair
+    (hamming ≤ max_hamming ≤ chunks-2) agrees on ≥ 2 chunks, so blocking
+    on combined keys ``keys[i]·2^w + keys[j]`` over all i<j is exact.
+    Uniqueness needs no shuffle: a joined row knows both fingerprints, so
+    the full chunk-equality mask of the pair is a few xor/shift ops, and
+    a precomputed 2^chunks table maps that mask to the index of its first
+    agreeing (i, j) — the row survives iff it IS that chunk pair."""
+    pair_list = [(i, j) for i in range(chunks) for j in range(chunks) if i < j]
+    combined = [
+        F.element_at("keys", i + 1) * F.lit(1 << width).cast("long")
+        + F.element_at("keys", j + 1)
+        for i, j in pair_list
+    ]
+    banded = fp.select(
+        "__id", "hi", "lo", F.posexplode(F.array(*combined)).alias("cp", "key")
+    )
+    left = banded.select(
+        F.col("__id").alias("id_a"), F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"), "cp", "key",
+    )
+    right = banded.select(
+        F.col("__id").alias("id_b"), F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"), "cp", "key",
+    )
+
+    def _chunk_eq(c):
+        # chunk c spans bits [c·w, (c+1)·w) MSB-first over hi||lo; 32 % w
+        # == 0 (gated by the caller) keeps it inside one 32-bit half
+        src = (
+            F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+            if c * width < 32
+            else F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+        )
+        off = c * width if c * width < 32 else c * width - 32
+        shift = 32 - off - width
+        return (
+            F.shiftright(src, shift).bitwiseAND(F.lit((1 << width) - 1)) == 0
+        ).cast("int")
+
+    # eq-mask → index (1-based for element_at) of the first agreeing
+    # chunk pair in pair_list order; masks with < 2 bits set are
+    # unreachable on joined rows (both their chunks agreed)
+    first_pair = [0] * (1 << chunks)
+    for m in range(1 << chunks):
+        eqs = [c for c in range(chunks) if m >> c & 1]
+        if len(eqs) >= 2:
+            first_pair[m] = pair_list.index((eqs[0], eqs[1])) + 1
+    mask = None
+    for c in range(chunks):
+        term = _chunk_eq(c) * F.lit(1 << c)
+        mask = term if mask is None else mask + term
+    canonical_cp = F.element_at(
+        F.lit(first_pair), mask + 1
+    )
+    return (
+        left.join(right, on=["cp", "key"], how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming)
+        .filter(
+            (F.col("hamming") <= max_hamming) & (F.col("cp") == canonical_cp - 1)
+        )
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 # ---------------------------------------------------------------- embeddings

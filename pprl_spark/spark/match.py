@@ -62,6 +62,34 @@ def _score_and_filter(pairs: DataFrame, cfg: MatchConfig) -> DataFrame:
     )
 
 
+def _word_cols(bloom: F.Column, n_bytes: int) -> list:
+    """Packed vector → 4-byte big-endian words as longs (JVM popcount
+    feed).  4-byte slices keep ``conv(hex(...), 16, 10)`` under 2^32, so
+    the long cast can never wrap."""
+    return [
+        F.conv(F.hex(F.substring(bloom, i + 1, min(4, n_bytes - i))), 16, 10).cast(
+            "long"
+        )
+        for i in range(0, n_bytes, 4)
+    ]
+
+
+def _similarity_expr(measure: str, pc_a, pc_b, n12) -> F.Column:
+    """Pure-JVM similarity over precomputed popcounts — double-for-double
+    identical to kernels.similarity (same IEEE ops on exact integer
+    inputs, same all-zero-pair → 0.0 guard)."""
+    n1, n2, n12 = (c.cast("double") for c in (pc_a, pc_b, n12))
+    if measure == "dice":
+        num, den = F.lit(2.0) * n12, n1 + n2
+    elif measure == "cosine":
+        num, den = n12, F.sqrt(n1 * n2)
+    elif measure == "jaccard":
+        num, den = n12, n1 + n2 - n12
+    else:
+        raise ValueError(f"unimplemented similarity measure `{measure}`")
+    return F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
+
+
 def _with_position(df: DataFrame, pos_col: str) -> DataFrame:
     """Attach a 0-based global row index in the DataFrame's current order
     (``zipWithIndex`` — contiguous across partitions, unlike
@@ -149,17 +177,39 @@ def match_lsh(
     id_col: str = "id",
     bloom_col: str = "bloom",
     max_bucket_size: int | None = None,
+    score_engine: str = "auto",
 ) -> DataFrame:
     """LSH-blocked match.  ``df_range=None`` → self-dedup mode (emit each
     unordered pair once, ``domain_id < range_id``).
 
     Plan shape: band-explode (narrow) → equi-join on (band, sig) over SLIM
-    (id, band, sig) rows → pair dedup on the slim pairs → join the packed
-    vectors back by id → similarity UDF + threshold (narrow).  Candidates
-    usually outnumber the corpus by orders of magnitude, so the candidate
-    shuffles carry 16-byte id pairs, not 2×m-bit vectors; the vectors ride
-    only the two final id-keyed joins.
+    (id, band, sig) rows → join per-id popcount words back → similarity +
+    threshold → pair dedup on the surviving matches.  Candidates usually
+    outnumber the corpus by orders of magnitude, so the candidate shuffles
+    carry 16-byte id pairs, not 2×m-bit vectors.
+
+    ``score_engine``:
+
+    * ``"auto"`` / ``"jvm"`` (default) — similarity is evaluated in pure
+      Catalyst: each vector is decomposed ONCE per id into 4-byte words +
+      a popcount, candidates attach the words by id, and the per-pair
+      score is Σ bit_count(wa & wb) folded into the measure formula
+      (double-identical to the kernel, see :func:`_similarity_expr`).
+      The r5 shape shipped both packed vectors of every candidate through
+      an Arrow UDF — ~2×128 B × candidate count across the Python
+      boundary (23 GB at sf1.0, r6 measured) — and pair-deduplicated ALL
+      candidates before scoring (a ~90M-row shuffle for 2.5k matches).
+      Scoring in the join stage lets the dedup run on the thresholded
+      matches instead.  Requires vectors of exactly ceil(num_bits/8)
+      bytes (runtime-checked, loud error).
+    * ``"udf"`` — the r5 Arrow-kernel path (any vector length whose bits
+      beyond ``lsh.num_bits`` still count; multi-GB-vector escape hatch).
     """
+    if score_engine not in ("auto", "jvm", "udf"):
+        raise ValueError(f"unknown score_engine `{score_engine}`")
+    use_jvm = score_engine in ("auto", "jvm") and cfg.measure in (
+        "dice", "cosine", "jaccard"
+    )
     # The id-keyed repartition is load-bearing twice over: (1) it puts a
     # stage boundary between the caller's encode UDF and the band UDF —
     # two Arrow UDFs chained in ONE stage run two Python workers per core
@@ -173,6 +223,15 @@ def match_lsh(
     dom_vec = _prefixed(df_domain, id_col, bloom_col, "domain").repartition(
         n_parts, "domain_id"
     )
+    # localCheckpoint the slim (id, vector) projection: the banding
+    # branch, the bucket-size aggregate, and (jvm engine) the popcount
+    # word table all re-read it.  Exchange reuse USED to make that one
+    # encode evaluation, but constraint-inferred isnotnull filters below
+    # the exchange de-canonicalize the subtrees — r6 plans showed the
+    # encode UDF running 3x.  Materializing the KB/row projection once is
+    # robust where ReusedExchange is fragile; non-eager, so it computes
+    # inside the query's own first job.
+    dom_vec = dom_vec.localCheckpoint(eager=False)
     dom = add_band_signatures(
         dom_vec.select("domain_id", F.col("__domain_bloom").alias("__b")),
         lsh,
@@ -190,7 +249,7 @@ def match_lsh(
     else:
         rng_vec = _prefixed(df_range, id_col, bloom_col, "range").repartition(
             n_parts, "range_id"
-        )
+        ).localCheckpoint(eager=False)  # same single-encode story as dom_vec
         rng_side = add_band_signatures(
             rng_vec.select("range_id", F.col("__range_bloom").alias("__b")),
             lsh,
@@ -219,15 +278,96 @@ def match_lsh(
         dom = dom.join(ok_dom, on=["band", "sig"], how="inner")
         rng_side = rng_side.join(ok_rng, on=["band", "sig"], how="inner")
 
-    pairs = (
-        dom.join(rng_side, on=["band", "sig"], how="inner")
-        .filter(pair_filter)
-        .select("domain_id", "range_id")
-        .dropDuplicates(["domain_id", "range_id"])
-        .join(dom_vec, "domain_id")
-        .join(rng_vec, "range_id")
+    cand = dom.join(rng_side, on=["band", "sig"], how="inner").filter(pair_filter)
+    if not use_jvm:
+        pairs = (
+            cand.select("domain_id", "range_id")
+            .dropDuplicates(["domain_id", "range_id"])
+            .join(dom_vec, "domain_id")
+            .join(rng_vec, "range_id")
+        )
+        return _score_and_filter(pairs, cfg)
+
+    # JVM scoring: decompose each id's vector once into a words array +
+    # popcount (a 3-col, popcount-only projection of the corpus —
+    # broadcast to the candidate join), score every candidate emission
+    # in-stage, and dedup only the matches above threshold.  Candidate
+    # multiplicity is bounded by num_bands (and in practice near 1 for
+    # non-identical pairs), so scoring before dedup trades a tiny amount
+    # of repeated arithmetic for not shuffling the full candidate set.
+    # The words ride in ONE array<long> column per side, not ~30 flat
+    # columns: a flat-column variant sent the optimizer's constraint
+    # propagation (getAllValidConstraints alias substitution over the
+    # join equivalences) into a minutes-long planning stall (r6 thread
+    # dump); with 2 attributes per side planning is instant.
+    n_bytes = (lsh.num_bits + 7) // 8
+
+    def _word_table(vec_side: DataFrame, side: str) -> DataFrame:
+        bloom = F.col(f"__{side}_bloom")
+        checked = F.when(
+            F.length(bloom) != n_bytes,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"match_lsh jvm scoring expects {n_bytes}-byte vectors "
+                        "(= ceil(lsh.num_bits/8)); got "
+                    ),
+                    F.length(bloom).cast("string"),
+                    F.lit(" bytes — pass score_engine='udf' for odd-sized vectors"),
+                )
+            ),
+        ).otherwise(bloom)
+        words = F.array(*_word_cols(checked, n_bytes))
+        pc = F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.bit_count(w)
+        )
+        return vec_side.select(
+            f"{side}_id",
+            pc.alias(f"__{side}_pc"),
+            words.alias(f"__{side}_words"),
+        )
+
+    # localCheckpoint is load-bearing, not a cache: it truncates the
+    # lineage at this KB-scale table so (1) the encode pipeline is
+    # guaranteed to evaluate once for the scoring branch and (2) the
+    # constraint machinery below the similarity filter sees a leaf.
+    # Non-eager: it materializes inside the query's own first job,
+    # nothing is precomputed across runs.
+    dom_words = _word_table(dom_vec, "domain").localCheckpoint(eager=False)
+    rng_words = (
+        dom_words.select(
+            F.col("domain_id").alias("range_id"),
+            F.col("__domain_pc").alias("__range_pc"),
+            F.col("__domain_words").alias("__range_words"),
+        )
+        if df_range is None
+        else _word_table(rng_vec, "range")
     )
-    return _score_and_filter(pairs, cfg)
+    # zip_with + aggregate over the two ARRAY attributes.  Two rejected
+    # alternatives, both re-measured at sf1.0 (r6): ~30 flat word columns
+    # hang the optimizer (constraint propagation is exponential in
+    # equivalence-linked attributes), and a flat sum of 2×32 element_at
+    # calls ran ~7x SLOWER end to end (170 s vs 23 s) than this HOF form.
+    n12 = F.aggregate(
+        F.zip_with(
+            "__domain_words",
+            "__range_words",
+            lambda a, b: F.bit_count(a.bitwiseAND(b)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = _similarity_expr(
+        cfg.measure, F.col("__domain_pc"), F.col("__range_pc"), n12
+    )
+    return (
+        cand.join(F.broadcast(dom_words), "domain_id")
+        .join(F.broadcast(rng_words), "range_id")
+        .withColumn("similarity", sim)
+        .filter(F.col("similarity") >= cfg.threshold)
+        .select("domain_id", "range_id", "similarity")
+        .dropDuplicates(["domain_id", "range_id"])
+    )
 
 
 def match_files(
