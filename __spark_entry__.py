@@ -289,7 +289,9 @@ def contamination_report_query(spark, sf_dir):
     hash-dedup, or join bug breaks the driver row."""
     from pprl_spark.spark.decontaminate import contamination_report
 
-    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _resplit(
+        _load(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     evalset = docs.where(
         (F.col("doc_id") % 101 == 0) & (F.col("doc_id") > 0)
     ).select("text")
@@ -302,7 +304,7 @@ def contamination_report_query(spark, sf_dir):
 
 
 def dedup_exact(spark, sf_dir):
-    docs = _load(spark, sf_dir, "documents")
+    docs = _resplit(_load(spark, sf_dir, "documents"), spark)
     return docs.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count")
     ).select("doc_id", "dup_count")
@@ -322,7 +324,11 @@ def text_quality(spark, sf_dir):
         whitespace_token_count,
     )
 
-    docs = _load(spark, sf_dir, "documents")
+    # _resplit: this query is a pure projection, but its regex family
+    # (quality/PII counts + redact chain) is the second-most expensive
+    # map work in the bench — on a 1-row-group parquet scan it would run
+    # on ONE core (r6: the sf1.0 documents table is a single split)
+    docs = _resplit(_load(spark, sf_dir, "documents"), spark)
     aug = F.concat(
         F.col("text"),
         F.lit(" contact user"), F.col("doc_id").cast("string"),
@@ -335,14 +341,31 @@ def text_quality(spark, sf_dir):
     n_pii = None
     for c in counts.values():
         n_pii = c if n_pii is None else (n_pii + c)
-    return docs.select(
+    # layered projection so the split/regexp subtrees evaluate ONCE:
+    # quality_score reuses the token count and punct ratio computed for
+    # their own output columns (CollapseProject keeps the layers apart —
+    # the shared expressions are non-cheap — so nothing re-inlines)
+    staged = docs.select(
         "doc_id",
+        "text",
         whitespace_token_count(F.col("text")).alias("n_tokens_ws"),
-        bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
-        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        punct_ratio(F.col("text")).alias("__punct"),
         n_pii.cast("long").alias("n_pii"),
         F.md5(redact_pii_col(aug)).alias("redacted_fp"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens_ws",
+        bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
+        F.round(F.col("__punct"), 6).alias("punct_ratio"),
+        F.round(
+            quality_score(
+                F.col("text"), n_words=F.col("n_tokens_ws"), punct=F.col("__punct")
+            ),
+            6,
+        ).alias("quality"),
+        "n_pii",
+        "redacted_fp",
     )
 
 
@@ -362,7 +385,9 @@ def fingerprint_jaccard(spark, sf_dir):
     from pprl_spark.spark.dedup import ngram_jaccard, qgram_tokens
     from pprl_spark.spark.webtext import remove_boilerplate_lines
 
-    docs = _load(spark, sf_dir, "documents")
+    # _resplit: the 3-gram tokenize + line explode otherwise serialize
+    # on the scan's single split at test scale (r6)
+    docs = _resplit(_load(spark, sf_dir, "documents"), spark)
     aug_docs = docs.select(
         "doc_id",
         F.concat(
@@ -710,7 +735,7 @@ def documents_split(spark, sf_dir):
     from pprl_spark.spark.sampling import hash_split
     from pprl_spark.spark.textstats import whitespace_token_count
 
-    docs = _load(spark, sf_dir, "documents").select(
+    docs = _resplit(_load(spark, sf_dir, "documents"), spark).select(
         "doc_id", whitespace_token_count(F.col("text")).alias("n_tokens")
     )
     sharded = assign_shards(docs, "doc_id", "n_tokens", budget=2000)

@@ -92,22 +92,31 @@ def stopword_ratio(col: Column | str) -> Column:
     )
 
 
-def quality_score(col: Column | str, n_words: Column | None = None) -> Column:
+def quality_score(
+    col: Column | str,
+    n_words: Column | None = None,
+    punct: Column | None = None,
+) -> Column:
     """Heuristic document quality in [0,1]: length band + moderate
     punctuation + mean word length band.  Deliberately simple, fully
     SQL-expressible (oracle-checkable).
 
-    ``n_words`` may be supplied when the caller already has the
-    whitespace token count (e.g. a fused signal struct sharing one
-    split — quality._scalar_signals); it must equal
-    :func:`whitespace_token_count` of the same column."""
+    ``n_words`` / ``punct`` may be supplied when the caller already has
+    the whitespace token count / punctuation ratio (e.g. a fused signal
+    struct sharing one split — quality._scalar_signals — or a projection
+    that also outputs them); they must equal
+    :func:`whitespace_token_count` / :func:`punct_ratio` of the same
+    column.  Passing them avoids re-running the split / regexp_count,
+    which CollapseProject would otherwise inline once per use."""
     col = _as_col(col)
     n_chars = F.length(col)
     if n_words is None:
         n_words = whitespace_token_count(col)
+    if punct is None:
+        punct = punct_ratio(col)
     mean_word = n_chars / F.greatest(n_words, F.lit(1))
     len_ok = F.when((n_chars >= 20) & (n_chars <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
-    punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
     word_ok = F.when((mean_word >= 2.5) & (mean_word <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
     return ((len_ok + punct_ok + word_ok) / F.lit(3.0)).cast("double")
 

@@ -65,7 +65,13 @@ def test_mask_prunes_html_equivalent_columns(spark):
 def test_text_quality_is_narrow_and_jvm_side(spark):
     df = E.text_quality(spark, SF)
     plan = _executed_plan(df)
-    assert "Exchange" not in plan
+    # the ONLY allowed exchange is the small-scan resplit BELOW the regex
+    # projection (r6 — without it the whole regex family runs on the
+    # scan's 1-4 splits at test scale; a no-op at production split
+    # counts); nothing may shuffle the projected output
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan
     # all-JVM projection: higher-order functions opt out of whole-stage
     # codegen in Spark 4, but there must be no Python evaluation node
     assert "EvalPython" not in plan
