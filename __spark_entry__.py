@@ -270,8 +270,31 @@ def corpus_token_stats(spark, sf_dir):
     distinct-token count (reference stats.py avg-token semantics) and
     the q-gram Shannon entropy (weight-estimation input) — merged from
     the r3 ``avg_token_count``/``ngram_entropy`` single-row queries to
-    free a registry slot inside the driver's 50-query window."""
-    return avg_token_count(spark, sf_dir).crossJoin(ngram_entropy(spark, sf_dir))
+    free a registry slot inside the driver's 50-query window.
+
+    r6: the avg and entropy lanes share ONE tokenization — the per-doc
+    distinct-token arrays are localCheckpoint'd (KB/row) and feed both
+    the avg(size) aggregate and the exploded frequency aggregate, where
+    the r3 shape ran the padded tokenizer over the corpus twice."""
+    from pprl_spark.spark.stats import padded_qgram_tokens
+
+    docs = _resplit(_load(spark, sf_dir, "documents"), spark)
+    toks = docs.select(
+        padded_qgram_tokens(F.col("text"), 2, "_").alias("tokens")
+    ).localCheckpoint(eager=False)
+    avg = toks.agg(F.round(F.avg(F.size("tokens")), 6).alias("avg_tokens"))
+    freq = (
+        toks.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ent = freq.agg(
+        F.sum("freq").alias("__n"),
+        F.sum(F.col("freq") * F.log2("freq")).alias("__flogf"),
+    ).select(
+        F.round(F.log2(F.col("__n")) - F.col("__flogf") / F.col("__n"), 6).alias("entropy")
+    )
+    return avg.crossJoin(ent)
 
 
 def contamination_report_query(spark, sf_dir):
@@ -456,7 +479,9 @@ def lm_perplexity(spark, sf_dir):
 def embedding_topk(spark, sf_dir):
     from pprl_spark.spark.ann import brute_force_topk
 
-    emb = _load(spark, sf_dir, "embeddings")
+    # _resplit: the 100k-pair cosine cross join otherwise runs on the
+    # embeddings scan's single split at test scale (r6)
+    emb = _resplit(_load(spark, sf_dir, "embeddings"), spark)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -627,20 +652,37 @@ def quantile_sketches(spark, sf_dir):
     the r3 ``kll_value_quantiles``/``tdigest_value_quantiles`` queries so
     every entry fits inside the driver's 50-query correctness window
     (VERDICT r3 #1).  Each sketch's value-at-quantile estimates are
-    rank-checked against the exact data (|rank(est) − q| ≤ 0.02)."""
-    from pprl_spark.sketch import KLLSketch, TDigest, sketch_column
+    rank-checked against the exact data (|rank(est) − q| ≤ 0.02).
+
+    r6: both sketches ride ONE scan (profile_column — both are
+    INPUT='value' rank sketches updating from the same Arrow batches)
+    and all six estimates rank-check in ONE aggregate job; the r3 shape
+    ran two sketch passes plus two rank-check passes over events."""
+    from pprl_spark.sketch import KLLSketch, TDigest, profile_column
 
     ev = _load(spark, sf_dir, "events")
-    parts = []
-    for label, factory, qs in (
-        ("kll", lambda: KLLSketch(k=200), (0.1, 0.5, 0.9)),
-        ("tdigest", lambda: TDigest(compression=100), (0.01, 0.5, 0.99)),
-    ):
-        sk = sketch_column(ev, "value", factory)
-        ests = [float(sk.quantile(q)) for q in qs]
-        checks = _rank_check_rows(spark, sf_dir, qs, ests, tol=0.02)
-        parts.append(checks.select(F.lit(label).alias("sketch"), "q", "rank_ok"))
-    return parts[0].unionByName(parts[1])
+    specs = (("kll", (0.1, 0.5, 0.9)), ("tdigest", (0.01, 0.5, 0.99)))
+    sketches = profile_column(
+        ev,
+        "value",
+        {"kll": lambda: KLLSketch(k=200), "tdigest": lambda: TDigest(compression=100)},
+    )
+    labels, quantiles, estimates = [], [], []
+    for label, qs in specs:
+        for q_ in qs:
+            labels.append(label)
+            quantiles.append(q_)
+            estimates.append(float(sketches[label].quantile(q_)))
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum((F.col("value") <= F.lit(v)).cast("long")).alias(f"__r{i}")
+        for i, v in enumerate(estimates)
+    ]
+    row = ev.agg(*aggs).first()
+    out = [
+        (labels[i], float(q_), bool(abs(row[f"__r{i}"] / row["__n"] - q_) <= 0.02))
+        for i, q_ in enumerate(quantiles)
+    ]
+    return spark.createDataFrame(out, "sketch string, q double, rank_ok boolean")
 
 
 def bloom_customer_membership(spark, sf_dir):

@@ -107,16 +107,20 @@ def token_frequencies(df: DataFrame, column: str, q: int = 2, padding: str = "_"
     """Exact global q-gram frequencies with the reference's set semantics
     (each record contributes 1 per DISTINCT token, lib.py:112-119).
 
-    Plan: explode the raw windows (cheap Generate — see qgram_windows) and
-    count distinct per-record ids per token.  The per-record dedup happens
-    in the map-side partial of the distinct aggregation (a record's rows
-    live in one partition), so the shuffle carries ~distinct tokens per
-    partition, not occurrences."""
-    rows = df.select(
-        F.monotonically_increasing_id().alias("__rid"), F.col(column).alias("__v")
+    Plan: per-record dedup INSIDE the row (padded_qgram_tokens is
+    already distinct), explode, and a plain count with map-side partial
+    aggregation — the shuffle carries one row per (partition, token).
+    The r2-era shape exploded raw windows and ran countDistinct over a
+    synthetic record id, shuffling every (record, token) pair (~7M slim
+    rows at sf1.0, r6 measured 2.2 s → 0.7 s); explode(array_distinct)
+    was avoided back then because GenerateExec re-evaluated its child
+    per OUTPUT row — on Spark 4.1.2 it evaluates once per INPUT row
+    (re-measured r5, see dedup.qgram_raw_windows), so the per-row dedup
+    is linear and the distinct aggregation is unnecessary."""
+    toks = df.select(
+        F.explode(padded_qgram_tokens(F.col(column), q, padding)).alias("token")
     )
-    raw = rows.select("__rid", F.explode(qgram_windows(F.col("__v"), q, padding)).alias("token"))
-    return raw.groupBy("token").agg(F.countDistinct("__rid").alias("freq"))
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
 
 
 def average_token_count(df: DataFrame, column: str, q: int = 2, padding: str = "_") -> float:
