@@ -2769,3 +2769,100 @@ def test_minhash_udf_signature_bit_identical(spark):
     assert ca == cu and (0, 100) in cu
     with pytest.raises(ValueError, match="signature_mode"):
         minhash_lsh_pairs(df, "doc_id", "text", signature_mode="nope")
+
+
+# ---------------------------------------------------------------- r6 paths
+
+
+def test_simhash_chunk_pair_blocking_matches_single_chunk(spark):
+    """r6: with max_hamming <= chunks-2 simhash_pairs switches to the
+    chunk-PAIR blocked join with first-agreeing-pair emission (no
+    dropDuplicates).  Pigeonhole makes it exact for the threshold, so the
+    output must equal the single-chunk path filtered to the same
+    threshold — pair set AND hamming values."""
+    from pyspark.sql import functions as F
+
+    from pprl_spark.spark.dedup import simhash_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fast = simhash_pairs(docs, "doc_id", "text", q=3, chunks=8, max_hamming=6)
+    # max_hamming=None keeps the legacy ≥1-chunk blocking; filtering its
+    # output at ≤6 afterwards is the reference answer
+    legacy = simhash_pairs(docs, "doc_id", "text", q=3, chunks=8).filter(
+        F.col("hamming") <= 6
+    )
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted(map(tuple, legacy.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_simhash_chunk_pair_emits_each_pair_once(spark):
+    """The first-agreeing-chunk-pair rule replaces the dedup shuffle, so
+    the raw output must already be duplicate-free."""
+    from pprl_spark.spark.dedup import simhash_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = simhash_pairs(docs, "doc_id", "text", q=3, chunks=8, max_hamming=6)
+    pairs = [(r.id_a, r.id_b) for r in out.collect()]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_match_lsh_jvm_engine_matches_udf_engine(spark):
+    """r6: the default jvm score engine (popcount-word decomposition +
+    prefix-bound early exit) must be row-identical — ids AND similarity
+    doubles — to the r5 Arrow-kernel engine."""
+    from pyspark.sql import functions as F
+
+    from pprl_spark.config import (
+        CLKFilter,
+        HashConfig,
+        HashFunctionConfig,
+        MaskConfig,
+        MatchConfig,
+    )
+    from pprl_spark.spark.lsh import LSHConfig
+    from pprl_spark.spark.mask import mask
+    from pprl_spark.spark.match import match_lsh
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    cfg = MaskConfig(
+        filter=CLKFilter(1024, 3),
+        hash=HashConfig(HashFunctionConfig(("sha256",)), "double_hash"),
+        token_size=4,
+        padding="_",
+        prepend_attribute_name=False,
+    )
+    encoded = mask(docs, cfg, ["text"])
+    lshcfg = LSHConfig(num_bits=1024, num_bands=64, band_width=16, seed=727,
+                       scheme="chunked")
+    mcfg = MatchConfig("dice", 0.85)
+    jvm = match_lsh(encoded, None, mcfg, lshcfg, max_bucket_size=400,
+                    score_engine="jvm")
+    udf = match_lsh(encoded, None, mcfg, lshcfg, max_bucket_size=400,
+                    score_engine="udf")
+    a = sorted(map(tuple, jvm.collect()))
+    b = sorted(map(tuple, udf.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_match_lsh_jvm_engine_rejects_odd_vector_length(spark):
+    """The jvm engine scores exactly ceil(num_bits/8) bytes; a vector of
+    any other length must fail loudly, not silently truncate."""
+    import pytest
+    from pyspark.sql import Row
+
+    from pprl_spark.config import MatchConfig
+    from pprl_spark.spark.lsh import LSHConfig
+    from pprl_spark.spark.match import match_lsh
+
+    df = spark.createDataFrame(
+        [Row(id="a", bloom=b"\xff" * 4), Row(id="b", bloom=b"\xff" * 4)]
+    )
+    out = match_lsh(
+        df, None, MatchConfig("dice", 0.1),
+        LSHConfig(num_bits=16, num_bands=2, band_width=8, scheme="chunked"),
+    )
+    with pytest.raises(Exception, match="expects 2-byte vectors"):
+        out.collect()
