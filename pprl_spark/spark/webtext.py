@@ -362,47 +362,99 @@ def remove_boilerplate_lines(
         .join(banned, "domain", "left")
         .select(id_col, "__banned")
     )
-    return _apply_banned(df.join(slim, id_col), text_col, out_col)
+    return _apply_banned(
+        df.join(slim, id_col), text_col, out_col, max_banned_per_domain
+    )
 
 
 def _fold_banned(stats: DataFrame, max_banned_per_domain: int) -> DataFrame:
     """(domain, line_hash, n_docs) rows → one (domain, __banned ARRAY)
     row per domain: top max_banned_per_domain by spread, deterministic
     (-n_docs, line_hash) order — bounds executor memory on adversarial
-    domains; capped domains still ban their top-N worst offenders."""
+    domains; capped domains still ban their top-N worst offenders.
+    The surviving hashes are re-sorted ASCENDING so the per-line
+    membership test can binary-search (see :func:`_member_expr`)."""
     return stats.groupBy("domain").agg(
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("n_docs")).alias("neg"),
-                            F.col("line_hash").alias("h"),
+        F.array_sort(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("n_docs")).alias("neg"),
+                                F.col("line_hash").alias("h"),
+                            )
                         )
-                    )
+                    ),
+                    lambda s: s["h"],
                 ),
-                lambda s: s["h"],
-            ),
-            1,
-            max_banned_per_domain,
+                1,
+                max_banned_per_domain,
+            )
         ).alias("__banned")
     )
 
 
+#: linear array_contains beats the log-step search below this size (the
+#: search pays ~log2(cap) struct updates per line regardless of the
+#: actual array size)
+_BANNED_LINEAR_MAX = 64
+
+
+def _member_expr(arr: Column, key: Column, max_size: int) -> Column:
+    """Membership of ``key`` in the ASC-sorted long array ``arr`` in
+    O(log max_size) per row (VERDICT r5 #5: the linear ``array_contains``
+    scan was O(|banned|) per LINE, up to the 100k cap on adversarial
+    domains).  Fixed-step lower-bound binary search as a fold: each of
+    the ceil(log2(max_size+1)) steps halves [lo, hi] via one element_at;
+    afterwards ``arr[lo] == key`` decides.  Small arrays short-circuit
+    to the linear scan, which has the better constant there."""
+    import math
+
+    steps = max(1, math.ceil(math.log2(max_size + 1)))
+    lb = F.aggregate(
+        F.sequence(F.lit(1), F.lit(steps)),
+        F.struct(F.lit(1).alias("lo"), F.size(arr).alias("hi")),
+        lambda st, _i: F.when(
+            st["lo"] < st["hi"],
+            # mid = floor((lo+hi)/2); arr[mid] < key → lo=mid+1 else hi=mid
+            F.when(
+                F.element_at(arr, F.shiftright(st["lo"] + st["hi"], 1)) < key,
+                F.struct(
+                    (F.shiftright(st["lo"] + st["hi"], 1) + 1).alias("lo"),
+                    st["hi"].alias("hi"),
+                ),
+            ).otherwise(
+                F.struct(
+                    st["lo"].alias("lo"),
+                    F.shiftright(st["lo"] + st["hi"], 1).alias("hi"),
+                )
+            ),
+        ).otherwise(st),
+    )
+    bsearch = (F.size(arr) > 0) & (F.element_at(arr, lb["lo"]) == key)
+    return F.when(
+        F.size(arr) <= _BANNED_LINEAR_MAX, F.array_contains(arr, key)
+    ).otherwise(bsearch)
+
+
 def _apply_banned(
-    joined: DataFrame, text_col: str, out_col: str
+    joined: DataFrame, text_col: str, out_col: str,
+    max_banned_per_domain: int = 100_000,
 ) -> DataFrame:
     """Map-side line filter against a joined ``__banned`` array column;
-    appends ``n_lines_removed`` and rewrites ``out_col``."""
+    appends ``n_lines_removed`` and rewrites ``out_col``.  Membership is
+    the O(log n) sorted-array search of :func:`_member_expr`."""
     lines = F.split(F.col(text_col), r"\n")
 
     def _kept(ls: Column) -> Column:
         return F.filter(
             ls,
             lambda l: (F.trim(l) == "")
-            | ~F.array_contains(
+            | ~_member_expr(
                 F.coalesce(F.col("__banned"), F.array().cast("array<bigint>")),
                 F.xxhash64(l),
+                max_banned_per_domain,
             ),
         )
 
@@ -462,4 +514,6 @@ def streaming_remove_boilerplate(
             "left",
         )
     )
-    return _apply_banned(joined, text_col, out_col).drop("__dom")
+    return _apply_banned(
+        joined, text_col, out_col, max_banned_per_domain
+    ).drop("__dom")

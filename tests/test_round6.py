@@ -2866,3 +2866,34 @@ def test_match_lsh_jvm_engine_rejects_odd_vector_length(spark):
     )
     with pytest.raises(Exception, match="expects 2-byte vectors"):
         out.collect()
+
+
+def test_banned_member_expr_matches_array_contains(spark):
+    """r6 (VERDICT r5 #5): the sorted-array binary-search membership used
+    by the boilerplate line filter must agree with array_contains on
+    arbitrary arrays/keys — empties, singletons, below/above range, both
+    sides of the linear-scan size gate."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from pprl_spark.spark.webtext import _member_expr
+
+    random.seed(7)
+    rows = []
+    for _ in range(300):
+        n = random.choice([0, 1, 2, 3, 63, 64, 65, 100, 1000])
+        arr = sorted(random.sample(range(-10**12, 10**12), n))
+        pool = [random.randrange(-10**12, 10**12), -10**13, 10**13]
+        if arr:
+            pool += [arr[0], arr[-1], random.choice(arr)]
+        rows.append(Row(arr=arr, key=random.choice(pool)))
+    df = spark.createDataFrame(rows)
+    bad = df.select(
+        (
+            _member_expr(F.col("arr"), F.col("key"), 100_000)
+            == F.array_contains("arr", F.col("key"))
+        ).alias("ok")
+    ).filter(~F.col("ok")).count()
+    assert bad == 0
