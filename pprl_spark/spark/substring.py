@@ -45,6 +45,21 @@ _MOD = (1 << 56) - 5
 _BASE = 131
 
 
+def _horner(b: np.ndarray, k: int) -> np.ndarray:
+    """Rolling k-byte polynomial hashes of a byte array (positions
+    0..len-k): Horner over the k byte lanes, one vectorized
+    multiply-add-mod over all positions per lane.  The plain ``%`` is
+    deliberate: a shift/mask reduction for 2^56-5 was tried (r6) and ran
+    3x SLOWER on large arrays — its ~7 temporaries per step make the
+    pass memory-bound, while numpy's scalar uint64 divide pipelines
+    fine."""
+    n = len(b)
+    h = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        h = (h * np.uint64(_BASE) + b[j:n - k + 1 + j]) % np.uint64(_MOD)
+    return h
+
+
 def _winnow_numpy(text: str, k: int, w: int) -> "list[tuple[int, int]]":
     """Selected (hash, pos) fingerprints of one string — vectorized."""
     b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
@@ -53,22 +68,19 @@ def _winnow_numpy(text: str, k: int, w: int) -> "list[tuple[int, int]]":
     n = len(b)
     if n < k:
         return []
-    # polynomial rolling hash, Horner over the k byte lanes (k is small,
-    # 20-50; each step is one vectorized multiply-add-mod over all
-    # positions at once)
-    h = np.zeros(n - k + 1, dtype=np.uint64)
-    for j in range(k):
-        h = (h * np.uint64(_BASE) + b[j:n - k + 1 + j]) % np.uint64(_MOD)
+    h = _horner(b, k)
     m = len(h)
     if m <= w:
-        pos = m - 1 - int(np.argmin(h[::-1]))  # rightmost minimum
+        pos = m - 1 - int(np.argmin(h[::-1].copy()))  # rightmost minimum
         return [(int(h[pos]), pos)]
     # windowed minimum with rightmost tie-break: argmin (which takes the
     # FIRST minimum) over windows of the REVERSED array picks the
     # rightmost min of the corresponding forward window; reversed window
     # j starts at forward index m-w-j, and reversed absolute index j+rel
     # maps back to forward index m-1-(j+rel)
-    win = np.lib.stride_tricks.sliding_window_view(h[::-1], w)
+    # contiguous copy before the windowed argmin: argmin over a
+    # negative-stride view leaves numpy's fast path (r6 measured 6.4x)
+    win = np.lib.stride_tricks.sliding_window_view(h[::-1].copy(), w)
     rel = np.argmin(win, axis=1)
     picked = (m - 1) - (np.arange(m - w + 1) + rel)
     sel = np.unique(picked)
@@ -91,9 +103,16 @@ def winnow_fingerprints(
     col: Column | str, k: int = 25, w: int = 25
 ) -> Column:
     """``array<struct<h long, pos int>>`` winnowing fingerprints of a
-    text column (Arrow-batched; numpy-vectorized per batch).  Any
+    text column (Arrow-batched; numpy-vectorized per document).  Any
     verbatim byte run of length >= w + k - 1 (default 49) shared by two
-    texts yields an identical ``h`` in both."""
+    texts yields an identical ``h`` in both.
+
+    A whole-batch concatenated engine (gap sentinels + one global
+    Horner/argmin pass) was built and parity-proven in r6 but ran
+    ~1.4x SLOWER than this per-document form once the reversed-view
+    argmin was made contiguous (420 vs 300 µs/doc on 800 B docs) — the
+    r5 "per-doc overhead dominates" hypothesis did not survive
+    measurement, so the simpler engine stays."""
     if k < 2 or w < 1:
         raise ValueError(f"need k >= 2 and w >= 1, got k={k} w={w}")
 
