@@ -327,7 +327,12 @@ def contamination_report_query(spark, sf_dir):
 
 
 def dedup_exact(spark, sf_dir):
-    docs = _resplit(_load(spark, sf_dir, "documents"), spark)
+    # deliberately NOT _resplit (r6 measured 0.50 → 0.80 s with it at
+    # sf1.0): the map side is one cheap hash pass, so shuffling the full
+    # text round-robin first costs more than the single-split partial
+    # aggregate it parallelizes; the groupBy's own exchange already
+    # carries the text once
+    docs = _load(spark, sf_dir, "documents")
     return docs.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count")
     ).select("doc_id", "dup_count")
